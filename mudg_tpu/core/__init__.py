@@ -1,0 +1,1 @@
+from . import schedules, diffusion, distributions  # noqa: F401

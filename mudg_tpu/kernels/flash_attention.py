@@ -1,0 +1,255 @@
+"""Pallas TPU flash attention (forward + backward).
+
+Replaces xformers.ops.memory_efficient_attention in the reference hot path
+(`lvdm/modules/attention.py:146-209`): block-wise online-softmax attention that
+never materializes the (Lq, Lk) probability matrix in HBM. Backward follows
+FlashAttention-2: the forward saves per-row logsumexp; dq/dk/dv are computed in
+two Pallas kernels that re-form probabilities block-by-block.
+
+Interface: q, k, v shaped (B, L, H, D) -> (B, L, H, D). Non-causal, no bias
+(the only configuration MuDG's spatial self-attention needs; cross/temporal
+attention use the dense XLA path in nn/attention.py because their key lengths
+are tiny). fp32 softmax and accumulation; MXU matmuls take bf16 inputs.
+
+On non-TPU backends (CPU tests) the kernels run in Pallas interpret mode.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _pick_block(n: int, candidates=(512, 256, 128, 64)) -> int:
+    for c in candidates:
+        if n % c == 0:
+            return c
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k, seq_k):
+    q = q_ref[0].astype(jnp.float32) * scale  # (BQ, D)
+    bq, d = q.shape
+    nk = seq_k // block_k
+
+    def body(i, carry):
+        m, l, acc = carry
+        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(i * block_k, block_k), :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (BQ, BK)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+        return m_new, l, acc
+
+    m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    a0 = jnp.zeros((bq, d), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, nk, body, (m0, l0, a0))
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    lse_ref[0] = (m + jnp.log(l))[:, 0]
+
+
+def _flash_fwd(q, k, v):
+    """q,k,v: (BH, L, D) -> (o, lse)."""
+    bh, lq, d = q.shape
+    lk = k.shape[1]
+    scale = d**-0.5
+    bq = _pick_block(lq)
+    bk = _pick_block(lk, (1024, 512, 256, 128, 64))
+    assert bq and bk, f"flash attention needs divisible seq lens, got {lq}, {lk}"
+
+    grid = (bh, lq // bq)
+    out_shapes = (
+        jax.ShapeDtypeStruct(q.shape, q.dtype),
+        jax.ShapeDtypeStruct((bh, lq), jnp.float32),
+    )
+    o, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, block_k=bk, seq_k=lk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lk, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lk, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq), lambda b, i: (b, i), memory_space=pltpu.VMEM),
+        ),
+        out_shape=out_shapes,
+        interpret=_interpret(),
+    )(q, k, v)
+    return o, lse
+
+
+# ---------------------------------------------------------------------------
+# Backward
+# ---------------------------------------------------------------------------
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+                   *, scale, block_k, seq_k):
+    q = q_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0][:, None]
+    delta = delta_ref[0][:, None]
+    bq, d = q.shape
+
+    def body(i, dq):
+        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = scale * jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        p = jnp.exp(s - lse)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta)
+        return dq + scale * jax.lax.dot(ds, k, preferred_element_type=jnp.float32)
+
+    dq = jax.lax.fori_loop(0, seq_k // block_k, body, jnp.zeros((bq, d), jnp.float32))
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                    dk_ref, dv_ref, *, scale, block_q, seq_q):
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    bk, d = k.shape
+
+    def body(i, carry):
+        dk, dv = carry
+        q = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        do = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, pl.ds(i * block_q, block_q)][:, None]
+        delta = delta_ref[0, pl.ds(i * block_q, block_q)][:, None]
+        s = scale * jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (BQ, BK)
+        p = jnp.exp(s - lse)
+        dv = dv + jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta)
+        dk = dk + scale * jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return dk, dv
+
+    z = jnp.zeros((bk, d), jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, seq_q // block_q, body, (z, z))
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _flash_bwd(q, k, v, o, lse, do):
+    bh, lq, d = q.shape
+    lk = k.shape[1]
+    scale = d**-0.5
+    bq = _pick_block(lq)
+    bk = _pick_block(lk, (512, 256, 128, 64))
+
+    delta = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)  # (BH, L)
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale, block_k=bk, seq_k=lk),
+        grid=(bh, lq // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lk, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lk, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq), lambda b, i: (b, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq), lambda b, i: (b, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        interpret=_interpret(),
+    )(q, k, v, do, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale, block_q=bq, seq_q=lq),
+        grid=(bh, lk // bk),
+        in_specs=[
+            pl.BlockSpec((1, lq, d), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lq, d), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lq), lambda b, j: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lq), lambda b, j: (b, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, bk, d), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ),
+        interpret=_interpret(),
+    )(q, k, v, do, lse, delta)
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# Public op with custom VJP, (B, L, H, D) layout
+# ---------------------------------------------------------------------------
+
+@jax.custom_vjp
+def flash_attention(q, k, v):
+    o, _ = _flash_fwd(*_fold(q, k, v))
+    return _unfold(o, q.shape)
+
+
+def _fold(q, k, v):
+    """(B, L, H, D) -> (B*H, L, D) for all three."""
+    def t(x):
+        b, l, h, d = x.shape
+        return x.transpose(0, 2, 1, 3).reshape(b * h, l, d)
+    return t(q), t(k), t(v)
+
+
+def _unfold(x, qshape):
+    b, l, h, d = qshape
+    return x.reshape(b, h, l, d).transpose(0, 2, 1, 3)
+
+
+def _fwd_rule(q, k, v):
+    qf, kf, vf = _fold(q, k, v)
+    o, lse = _flash_fwd(qf, kf, vf)
+    return _unfold(o, q.shape), (qf, kf, vf, o, lse, q.shape)
+
+
+def _bwd_rule(res, g):
+    qf, kf, vf, o, lse, qshape = res
+    b, l, h, d = g.shape
+    gf = g.transpose(0, 2, 1, 3).reshape(b * h, l, d)
+    dq, dk, dv = _flash_bwd(qf, kf, vf, o, lse, gf)
+    return _unfold(dq, qshape), _unfold(dk, (b, kf.shape[1], h, d)), _unfold(
+        dv, (b, vf.shape[1], h, d)
+    )
+
+
+flash_attention.defvjp(_fwd_rule, _bwd_rule)

@@ -1,0 +1,374 @@
+"""Attention modules: cross/self attention, spatial & temporal transformers.
+
+Functional rebuild of `lvdm/modules/attention.py` for TPU:
+  * one `attend()` primitive covers all three attention shapes (spatial self,
+    text/image cross, temporal self); it dispatches to a Pallas flash kernel
+    for long self-attention and to a fused XLA einsum path otherwise
+    (replacing xformers memory_efficient_attention, attention.py:146-209),
+  * decoupled image cross-attention (IP-Adapter style to_k_ip/to_v_ip,
+    attention.py:74-78,129-142) is two attend() calls + scaled add,
+  * temporal attention supports an optional causal mask and additive
+    relative-position bias (attention.py:20-39,104-124).
+
+Param pytrees mirror the torch module paths, e.g. a CrossAttention is
+{'to_q': .., 'to_k': .., 'to_v': .., 'to_out': {'0': ..}, ['to_k_ip', 'to_v_ip']}.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from . import functional as F
+
+# Flash kernel threshold: below this sequence length a dense XLA attention is
+# both faster (no pipeline overhead) and exactly fuses with surrounding ops.
+FLASH_MIN_SEQ = 1024
+
+
+def _flash_available():
+    try:
+        from ..kernels import flash_attention  # noqa: F401
+        return True
+    except Exception:  # pragma: no cover
+        return False
+
+
+def attend(q, k, v, *, bias=None, causal=False, impl="auto"):
+    """Scaled dot-product attention.
+
+    q: (B, Lq, H, D), k/v: (B, Lk, H, D) -> (B, Lq, H, D).
+    Softmax runs in fp32 regardless of input dtype (parity-sensitive island).
+    `bias` is an additive (Lq, Lk) or (B*H or 1, Lq, Lk) logit bias.
+    """
+    scale = q.shape[-1] ** -0.5
+    use_flash = impl == "flash" or (
+        impl == "auto"
+        and bias is None
+        and not causal
+        and q.shape[1] >= FLASH_MIN_SEQ
+        and q.shape[1] == k.shape[1]
+        and q.shape[-1] % 64 == 0
+        and _flash_available()
+    )
+    if use_flash:
+        from ..kernels.flash_attention import flash_attention
+        return flash_attention(q, k, v)
+
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    if bias is not None:
+        if bias.ndim == 2:
+            bias = bias[None, None]
+        elif bias.ndim == 3:
+            bias = bias.reshape(-1, q.shape[2], *bias.shape[-2:]) if bias.shape[0] > 1 else bias[:, None]
+        logits = logits + bias.astype(logits.dtype)
+    if causal:
+        lq, lk = logits.shape[-2:]
+        mask = jnp.tril(jnp.ones((lq, lk), dtype=bool), lk - lq)
+        logits = jnp.where(mask, logits, jnp.finfo(logits.dtype).min)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+
+def _split_heads(x, heads):
+    b, l, _ = x.shape
+    return x.reshape(b, l, heads, -1)
+
+
+def _merge_heads(x):
+    b, l, h, d = x.shape
+    return x.reshape(b, l, h * d)
+
+
+def relative_position_bias(table, length_q, length_k, max_rel):
+    """Clipped relative-position embedding lookup (attention.py:20-39).
+
+    table: (2*max_rel+1, d). Returns (length_q, length_k, d).
+    """
+    rq = jnp.arange(length_q)[:, None]
+    rk = jnp.arange(length_k)[None, :]
+    idx = jnp.clip(rk - rq, -max_rel, max_rel) + max_rel
+    return table[idx]
+
+
+def cross_attention(
+    p,
+    x,
+    context=None,
+    *,
+    heads,
+    image_cross=False,
+    ip_scale=1.0,
+    text_len=77,
+    causal=False,
+    temporal_length=None,
+    impl="auto",
+):
+    """CrossAttention forward (attention.py:81-209).
+
+    x: (B, Lq, C). context None => self-attention. With `image_cross` and a
+    context longer than `text_len`, the tail tokens go through the decoupled
+    image-KV path and are added with `ip_scale` (optionally modulated by a
+    learned alpha: out + scale*out_ip*(tanh(alpha)+1), attention.py:138-142).
+    """
+    self_attn = context is None
+    ctx = x if self_attn else context
+
+    out_ip = None
+    if image_cross and not self_attn:
+        ctx, ctx_img = ctx[:, :text_len], ctx[:, text_len:]
+        q = _split_heads(F.linear(p["to_q"], x), heads)
+        k = _split_heads(F.linear(p["to_k"], ctx), heads)
+        v = _split_heads(F.linear(p["to_v"], ctx), heads)
+        k_ip = _split_heads(F.linear(p["to_k_ip"], ctx_img), heads)
+        v_ip = _split_heads(F.linear(p["to_v_ip"], ctx_img), heads)
+        out = attend(q, k, v, impl=impl)
+        out_ip = attend(q, k_ip, v_ip, impl=impl)
+    else:
+        if not self_attn:
+            ctx = ctx[:, :text_len]
+        q = _split_heads(F.linear(p["to_q"], x), heads)
+        k = _split_heads(F.linear(p["to_k"], ctx), heads)
+        v = _split_heads(F.linear(p["to_v"], ctx), heads)
+        if "relative_position_k" in p:
+            # additive rel-pos on logits + values (attention.py:104-124);
+            # temporal sequences are tiny (T=16) so the dense path is right.
+            scale = q.shape[-1] ** -0.5
+            lq, lk = q.shape[1], k.shape[1]
+            k2 = relative_position_bias(
+                p["relative_position_k"]["embeddings_table"], lq, lk, temporal_length
+            )
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+            logits = logits + jnp.einsum(
+                "bqhd,qkd->bhqk", q.astype(jnp.float32), k2.astype(jnp.float32)
+            )
+            logits = logits * scale
+            if causal:
+                mask = jnp.tril(jnp.ones((lq, lk), dtype=bool))
+                logits = jnp.where(mask, logits, jnp.finfo(logits.dtype).min)
+            probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+            v2 = relative_position_bias(
+                p["relative_position_v"]["embeddings_table"], lq, lq, temporal_length
+            )
+            out = out + jnp.einsum("bhqk,qkd->bqhd", probs, v2.astype(probs.dtype))
+        else:
+            out = attend(q, k, v, causal=causal, impl=impl)
+
+    out = _merge_heads(out)
+    if out_ip is not None:
+        out_ip = _merge_heads(out_ip)
+        if "alpha" in p:
+            out = out + ip_scale * out_ip * (jnp.tanh(p["alpha"]) + 1.0)
+        else:
+            out = out + ip_scale * out_ip
+    return F.linear(p["to_out"]["0"], out)
+
+
+def feed_forward(p, x):
+    """GEGLU feed-forward (attention.py:579-606): net.0=GEGLU, net.2=Linear."""
+    h = F.linear(p["net"]["0"]["proj"], x)
+    h, gate = jnp.split(h, 2, axis=-1)
+    h = h * F.gelu(gate)
+    return F.linear(p["net"]["2"], h)
+
+
+def basic_transformer_block(
+    p, x, context=None, *, heads, image_cross=False, ip_scale=1.0, text_len=77,
+    causal=False, temporal_length=None, impl="auto",
+):
+    """self-attn -> cross-attn -> FF with pre-LN residuals (attention.py:392-400)."""
+    x = cross_attention(
+        p["attn1"], F.layer_norm(p["norm1"], x), None,
+        heads=heads, causal=causal, temporal_length=temporal_length, impl=impl,
+    ) + x
+    x = cross_attention(
+        p["attn2"], F.layer_norm(p["norm2"], x), context,
+        heads=heads, image_cross=image_cross, ip_scale=ip_scale,
+        text_len=text_len, temporal_length=temporal_length, impl=impl,
+    ) + x
+    x = feed_forward(p["ff"], F.layer_norm(p["norm3"], x)) + x
+    return x
+
+
+def _proj(p, x):
+    """proj_in/proj_out that is either Linear or a 1x1 Conv1d/Conv2d in the
+    checkpoint (attention.py:421-424,489-493); a k=1 conv is a linear."""
+    w = p["weight"]
+    if w.ndim == 2:
+        return F.linear(p, x)
+    q = {"weight": w.reshape(w.shape[-2], w.shape[-1])}
+    if "bias" in p:
+        q["bias"] = p["bias"]
+    return F.linear(q, x)
+
+
+def spatial_transformer(
+    p, x, context=None, *, heads, depth=1, image_cross=False, ip_scale=1.0,
+    text_len=77, impl="auto", remat=False,
+):
+    """SpatialTransformer (attention.py:403-467). x: (N, H, W, C)."""
+    n, h, w, c = x.shape
+    x_in = x
+    x = F.group_norm(p["norm"], x, eps=1e-6)
+    x = x.reshape(n, h * w, c)
+    x = _proj(p["proj_in"], x)
+    block = partial(
+        basic_transformer_block, heads=heads, image_cross=image_cross,
+        ip_scale=ip_scale, text_len=text_len, impl=impl,
+    )
+    if remat:
+        block = jax.checkpoint(block, static_argnums=())
+    for d in range(depth):
+        x = block(p["transformer_blocks"][str(d)], x, context)
+    x = _proj(p["proj_out"], x)
+    return x.reshape(n, h, w, c) + x_in
+
+
+def temporal_transformer(
+    p, x, *, heads, depth=1, causal=False, temporal_length=None, impl="auto",
+    remat=False,
+):
+    """TemporalTransformer, self-attention-only path (attention.py:529-576).
+
+    x: (B, T, H, W, C); attention runs over T on (B*H*W, T, C) tokens.
+    The reference's only_self_att=False cross path is unused by every MuDG
+    config (temporal_selfatt_only: true) and is not implemented.
+    """
+    b, t, h, w, c = x.shape
+    x_in = x
+    x = F.group_norm(p["norm"], x, eps=1e-6)
+    # (B, T, H, W, C) -> (B*H*W, T, C)
+    x = x.transpose(0, 2, 3, 1, 4).reshape(b * h * w, t, c)
+    x = _proj(p["proj_in"], x)
+    block = partial(
+        basic_transformer_block, heads=heads, causal=causal,
+        temporal_length=temporal_length, impl=impl,
+    )
+    if remat:
+        block = jax.checkpoint(block)
+    for d in range(depth):
+        x = block(p["transformer_blocks"][str(d)], x, None)
+    x = _proj(p["proj_out"], x)
+    x = x.reshape(b, h, w, t, c).transpose(0, 3, 1, 2, 4)
+    return x + x_in
+
+
+# ---------------------------------------------------------------------------
+# Initializers
+# ---------------------------------------------------------------------------
+
+def init_cross_attention(
+    rng, query_dim, *, context_dim=None, heads=8, dim_head=64,
+    image_cross=False, relative_position=False, temporal_length=None,
+    alpha_learnable=False,
+):
+    inner = heads * dim_head
+    context_dim = query_dim if context_dim is None else context_dim
+    ks = jax.random.split(rng, 8)
+    p = {
+        "to_q": F.init_linear(ks[0], query_dim, inner, bias=False),
+        "to_k": F.init_linear(ks[1], context_dim, inner, bias=False),
+        "to_v": F.init_linear(ks[2], context_dim, inner, bias=False),
+        "to_out": {"0": F.init_linear(ks[3], inner, query_dim)},
+    }
+    if image_cross:
+        p["to_k_ip"] = F.init_linear(ks[4], context_dim, inner, bias=False)
+        p["to_v_ip"] = F.init_linear(ks[5], context_dim, inner, bias=False)
+        if alpha_learnable:
+            p["alpha"] = jnp.zeros(())
+    if relative_position:
+        assert temporal_length is not None
+        shape = (2 * temporal_length + 1, dim_head)
+        limit = (6.0 / sum(shape)) ** 0.5  # xavier_uniform
+        p["relative_position_k"] = {
+            "embeddings_table": jax.random.uniform(ks[6], shape, jnp.float32, -limit, limit)
+        }
+        p["relative_position_v"] = {
+            "embeddings_table": jax.random.uniform(ks[7], shape, jnp.float32, -limit, limit)
+        }
+    return p
+
+
+def init_feed_forward(rng, dim, mult=4):
+    inner = int(dim * mult)
+    k1, k2 = jax.random.split(rng)
+    return {
+        "net": {
+            "0": {"proj": F.init_linear(k1, dim, inner * 2)},
+            "2": F.init_linear(k2, inner, dim),
+        }
+    }
+
+
+def init_transformer_block(
+    rng, dim, *, heads, dim_head, context_dim=None, image_cross=False,
+    relative_position=False, temporal_length=None, alpha_learnable=False,
+):
+    ks = jax.random.split(rng, 3)
+    return {
+        "attn1": init_cross_attention(
+            ks[0], dim, heads=heads, dim_head=dim_head,
+            relative_position=relative_position, temporal_length=temporal_length,
+        ),
+        "attn2": init_cross_attention(
+            ks[1], dim, context_dim=context_dim, heads=heads, dim_head=dim_head,
+            image_cross=image_cross, relative_position=relative_position,
+            temporal_length=temporal_length, alpha_learnable=alpha_learnable,
+        ),
+        "ff": init_feed_forward(ks[2], dim),
+        "norm1": F.init_norm(dim),
+        "norm2": F.init_norm(dim),
+        "norm3": F.init_norm(dim),
+    }
+
+
+def _init_proj(rng, d_in, d_out, use_linear, zero=False):
+    if use_linear:
+        return F.init_linear(rng, d_in, d_out, zero=zero)
+    # stored as 1x1 Conv1d layout (k, in, out) to match torch checkpoints
+    return F.init_conv(rng, (1,), d_in, d_out, zero=zero)
+
+
+def init_spatial_transformer(
+    rng, in_channels, *, heads, dim_head, depth=1, context_dim=None,
+    use_linear=True, image_cross=False, alpha_learnable=False,
+):
+    inner = heads * dim_head
+    ks = jax.random.split(rng, depth + 2)
+    return {
+        "norm": F.init_norm(in_channels),
+        "proj_in": _init_proj(ks[0], in_channels, inner, use_linear),
+        "transformer_blocks": {
+            str(d): init_transformer_block(
+                ks[2 + d], inner, heads=heads, dim_head=dim_head,
+                context_dim=context_dim, image_cross=image_cross,
+                alpha_learnable=alpha_learnable,
+            )
+            for d in range(depth)
+        },
+        "proj_out": _init_proj(ks[1], inner, in_channels, use_linear, zero=True),
+    }
+
+
+def init_temporal_transformer(
+    rng, in_channels, *, heads, dim_head, depth=1, use_linear=True,
+    relative_position=False, temporal_length=None,
+):
+    inner = heads * dim_head
+    ks = jax.random.split(rng, depth + 2)
+    return {
+        "norm": F.init_norm(in_channels),
+        "proj_in": _init_proj(ks[0], in_channels, inner, use_linear),
+        "transformer_blocks": {
+            str(d): init_transformer_block(
+                ks[2 + d], inner, heads=heads, dim_head=dim_head,
+                relative_position=relative_position, temporal_length=temporal_length,
+            )
+            for d in range(depth)
+        },
+        "proj_out": _init_proj(ks[1], inner, in_channels, use_linear, zero=True),
+    }

@@ -1,0 +1,187 @@
+"""Functional NN primitives over explicit parameter pytrees.
+
+Design: every "module" is a plain nested dict of arrays whose structure mirrors
+the reference torch state_dict (so checkpoint import is a per-leaf layout
+transform, see train/checkpoint.py), and every forward is a pure function.
+
+Leaf layouts (TPU-preferred, converted at import time from torch layouts):
+    Linear   {'weight': (in, out),             'bias': (out,)?}   torch: (out, in)
+    Conv1d   {'weight': (k, in, out),          'bias': (out,)?}   torch: (out, in, k)
+    Conv2d   {'weight': (kh, kw, in, out),     'bias': (out,)?}   torch: (out, in, kh, kw)
+    Conv3d   {'weight': (kt, kh, kw, in, out), 'bias': (out,)?}   torch: (out, in, kt, kh, kw)
+    Norm     {'weight': (C,), 'bias': (C,)}
+
+Leaf names intentionally reuse the torch names ('weight'/'bias') and dicts
+mirror torch module paths (Sequential indices become string keys), so a torch
+checkpoint key maps to a pytree path with zero name-mapping tables.
+
+Activations are channels-last: (N, H, W, C) spatial, (N, T, H, W, C) video.
+
+Dtype policy: forwards run in the dtype of their input; weights are cast to
+that dtype at application. Normalization layers are fp32 islands (they cast up,
+normalize, cast back), matching GroupNormSpecific (lvdm/basics.py:76-78) and
+the fp32 softmax spots that checkpoint parity depends on.
+"""
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def linear(p, x):
+    w = p["weight"].astype(x.dtype)
+    y = x @ w
+    if "bias" in p and p["bias"] is not None:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def conv2d(p, x, stride: int | tuple = 1, padding="SAME"):
+    """x: (N, H, W, C) -> (N, H', W', O)."""
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    y = jax.lax.conv_general_dilated(
+        x,
+        p["weight"].astype(x.dtype),
+        window_strides=stride,
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if "bias" in p and p["bias"] is not None:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def conv1d(p, x, stride: int = 1, padding="SAME"):
+    """x: (N, L, C) -> (N, L', O)."""
+    y = jax.lax.conv_general_dilated(
+        x,
+        p["weight"].astype(x.dtype),
+        window_strides=(stride,),
+        padding=padding,
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )
+    if "bias" in p and p["bias"] is not None:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def conv3d(p, x, stride=1, padding="SAME"):
+    """x: (N, T, H, W, C) -> (N, T', H', W', O)."""
+    if isinstance(stride, int):
+        stride = (stride, stride, stride)
+    y = jax.lax.conv_general_dilated(
+        x,
+        p["weight"].astype(x.dtype),
+        window_strides=stride,
+        padding=padding,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+    if "bias" in p and p["bias"] is not None:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def group_norm(p, x, num_groups: int = 32, eps: float = 1e-5):
+    """GroupNorm over channels-last input; fp32 island (lvdm/basics.py:76-78).
+
+    Normalizes over all non-batch dims within each channel group, like torch.
+    """
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    c = xf.shape[-1]
+    g = num_groups
+    assert c % g == 0, f"channels {c} not divisible by groups {g}"
+    spatial = xf.shape[1:-1]
+    xg = xf.reshape(xf.shape[0], *spatial, g, c // g)
+    axes = tuple(range(1, xg.ndim - 2)) + (xg.ndim - 1,)
+    mean = jnp.mean(xg, axis=axes, keepdims=True)
+    var = jnp.var(xg, axis=axes, keepdims=True)
+    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
+    xf = xg.reshape(xf.shape)
+    xf = xf * p["weight"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return xf.astype(orig_dtype)
+
+
+def layer_norm(p, x, eps: float = 1e-5):
+    """LayerNorm over the last axis; fp32 accumulation."""
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
+    xf = xf * p["weight"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return xf.astype(orig_dtype)
+
+
+def silu(x):
+    return jax.nn.silu(x)
+
+
+def gelu(x):
+    # torch.nn.GELU() defaults to the exact erf formulation; jax.nn.gelu
+    # defaults to tanh-approximate, so pin approximate=False for parity.
+    return jax.nn.gelu(x, approximate=False)
+
+
+def avg_pool2d(x, window: int = 2, stride: int = 2):
+    return jax.lax.reduce_window(
+        x, 0.0, jax.lax.add,
+        (1, window, window, 1), (1, stride, stride, 1), "VALID",
+    ) / float(window * window)
+
+
+def upsample_nearest_2x(x):
+    """Nearest-neighbor 2x upsampling on (N, H, W, C) (or (..., H, W, C))."""
+    h_axis, w_axis = x.ndim - 3, x.ndim - 2
+    x = jnp.repeat(x, 2, axis=h_axis)
+    x = jnp.repeat(x, 2, axis=w_axis)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Initializers (for from-scratch training; checkpoint import overwrites these)
+# ---------------------------------------------------------------------------
+
+def _kaiming_uniform(rng, shape, fan_in, dtype=jnp.float32):
+    bound = math.sqrt(1.0 / fan_in) * math.sqrt(3.0)
+    return jax.random.uniform(rng, shape, dtype, -bound, bound)
+
+
+def init_linear(rng, d_in, d_out, bias=True, zero=False, dtype=jnp.float32):
+    if zero:
+        p = {"weight": jnp.zeros((d_in, d_out), dtype)}
+        if bias:
+            p["bias"] = jnp.zeros((d_out,), dtype)
+        return p
+    kw, kb = jax.random.split(rng)
+    p = {"weight": _kaiming_uniform(kw, (d_in, d_out), d_in, dtype)}
+    if bias:
+        bound = 1.0 / math.sqrt(d_in)
+        p["bias"] = jax.random.uniform(kb, (d_out,), dtype, -bound, bound)
+    return p
+
+
+def init_conv(rng, kernel: Sequence[int], c_in, c_out, bias=True, zero=False,
+              dtype=jnp.float32):
+    shape = (*kernel, c_in, c_out)
+    if zero:
+        p = {"weight": jnp.zeros(shape, dtype)}
+        if bias:
+            p["bias"] = jnp.zeros((c_out,), dtype)
+        return p
+    kw, kb = jax.random.split(rng)
+    fan_in = c_in * int(np.prod(kernel))
+    p = {"weight": _kaiming_uniform(kw, shape, fan_in, dtype)}
+    if bias:
+        bound = 1.0 / math.sqrt(fan_in)
+        p["bias"] = jax.random.uniform(kb, (c_out,), dtype, -bound, bound)
+    return p
+
+
+def init_norm(c, dtype=jnp.float32):
+    return {"weight": jnp.ones((c,), dtype), "bias": jnp.zeros((c,), dtype)}

@@ -1,0 +1,126 @@
+"""Attention modules: dense-path correctness vs a literal reference einsum,
+flash kernel parity (interpret mode on CPU), shape checks for transformers."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mudg_tpu.nn import attention as A
+from mudg_tpu.nn import functional as F
+
+
+def _dense_ref(q, k, v):
+    """Literal softmax attention on (B, L, H, D)."""
+    scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+    p = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", p, v)
+
+
+def test_attend_matches_reference():
+    rng = jax.random.PRNGKey(0)
+    ks = jax.random.split(rng, 3)
+    q = jax.random.normal(ks[0], (2, 64, 4, 32))
+    k = jax.random.normal(ks[1], (2, 48, 4, 32))
+    v = jax.random.normal(ks[2], (2, 48, 4, 32))
+    out = A.attend(q, k, v, impl="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(_dense_ref(q, k, v)), atol=1e-5)
+
+
+def test_attend_causal():
+    rng = jax.random.PRNGKey(1)
+    q = jax.random.normal(rng, (1, 8, 2, 16))
+    out = A.attend(q, q, q, causal=True, impl="xla")
+    # row 0 attends only to itself => equals v[0]
+    np.testing.assert_allclose(np.asarray(out[0, 0]), np.asarray(q[0, 0]), atol=1e-5)
+
+
+def test_flash_matches_dense():
+    rng = jax.random.PRNGKey(2)
+    ks = jax.random.split(rng, 3)
+    B, L, H, D = 2, 256, 2, 64
+    q = jax.random.normal(ks[0], (B, L, H, D), jnp.float32)
+    k = jax.random.normal(ks[1], (B, L, H, D), jnp.float32)
+    v = jax.random.normal(ks[2], (B, L, H, D), jnp.float32)
+    from mudg_tpu.kernels.flash_attention import flash_attention
+
+    out = flash_attention(q, k, v)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(_dense_ref(q, k, v)), atol=2e-5
+    )
+
+
+def test_flash_grads_match_dense():
+    rng = jax.random.PRNGKey(3)
+    ks = jax.random.split(rng, 3)
+    B, L, H, D = 1, 128, 2, 64
+    q = jax.random.normal(ks[0], (B, L, H, D), jnp.float32)
+    k = jax.random.normal(ks[1], (B, L, H, D), jnp.float32)
+    v = jax.random.normal(ks[2], (B, L, H, D), jnp.float32)
+    from mudg_tpu.kernels.flash_attention import flash_attention
+
+    def loss_flash(q, k, v):
+        return jnp.sum(jnp.sin(flash_attention(q, k, v)))
+
+    def loss_dense(q, k, v):
+        return jnp.sum(jnp.sin(_dense_ref(q, k, v)))
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_cross_attention_image_branch():
+    rng = jax.random.PRNGKey(4)
+    heads, dim_head, dim, ctx_dim = 2, 16, 32, 24
+    p = A.init_cross_attention(
+        rng, dim, context_dim=ctx_dim, heads=heads, dim_head=dim_head, image_cross=True
+    )
+    x = jax.random.normal(jax.random.PRNGKey(5), (2, 10, dim))
+    ctx = jax.random.normal(jax.random.PRNGKey(6), (2, 77 + 32, ctx_dim))
+    out = A.cross_attention(p, x, ctx, heads=heads, image_cross=True, impl="xla")
+    assert out.shape == (2, 10, dim)
+
+    # with ip_scale=0 the image branch must vanish
+    out0 = A.cross_attention(p, x, ctx, heads=heads, image_cross=True, ip_scale=0.0, impl="xla")
+    out_text_only = A.cross_attention(
+        {k: p[k] for k in ("to_q", "to_k", "to_v", "to_out")},
+        x, ctx[:, :77], heads=heads, image_cross=False, impl="xla",
+    )
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(out_text_only), atol=1e-5)
+
+
+def test_relative_position_bias_shape():
+    table = jnp.arange(9 * 4, dtype=jnp.float32).reshape(9, 4)
+    bias = A.relative_position_bias(table, 5, 5, 4)
+    assert bias.shape == (5, 5, 4)
+    # diagonal distance 0 -> index max_rel
+    np.testing.assert_allclose(np.asarray(bias[2, 2]), np.asarray(table[4]))
+
+
+def test_spatial_transformer_shapes():
+    rng = jax.random.PRNGKey(7)
+    c, heads, dh = 64, 2, 32
+    p = A.init_spatial_transformer(
+        rng, c, heads=heads, dim_head=dh, context_dim=48, use_linear=True, image_cross=True
+    )
+    x = jax.random.normal(jax.random.PRNGKey(8), (4, 8, 8, c))
+    ctx = jax.random.normal(jax.random.PRNGKey(9), (4, 77 + 16, 48))
+    out = A.spatial_transformer(p, x, ctx, heads=heads, image_cross=True, impl="xla")
+    assert out.shape == x.shape
+    # zero-init proj_out => identity at init
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-5)
+
+
+def test_temporal_transformer_shapes():
+    rng = jax.random.PRNGKey(10)
+    c, heads, dh = 64, 2, 32
+    p = A.init_temporal_transformer(
+        rng, c, heads=heads, dim_head=dh, use_linear=False,
+        relative_position=True, temporal_length=8,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(11), (2, 8, 4, 4, c))
+    out = A.temporal_transformer(p, x, heads=heads, temporal_length=8, impl="xla")
+    assert out.shape == x.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-5)
