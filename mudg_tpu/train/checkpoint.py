@@ -27,19 +27,9 @@ from typing import Mapping
 
 import numpy as np
 
-# Leaf names that keep their torch layout regardless of rank.
-_KEEP_LAYOUT_SUFFIXES = (
-    "embeddings_table",  # RelativePosition (attention.py:27)
-    "latents",           # Resampler queries (resampler.py:118)
-    "alpha",             # learnable image-cross scale (attention.py:78)
-    "logvar",
-    "positional_embedding",
-    "position_ids",
-    "class_embedding",
-    "scale_arr",
-    "text_projection",   # open_clip stores (d, out) already
-    "proj",              # CLIP visual projection matrix (d, out)
-)
+# Modules whose '.weight' is an embedding table (kept (vocab, dim), not
+# transposed like a Linear).
+_EMBEDDING_MODULES = ("token_embedding",)
 
 _BUFFER_SKIP_SUFFIXES = (
     "betas", "alphas_cumprod", "alphas_cumprod_prev", "sqrt_alphas_cumprod",
@@ -52,14 +42,22 @@ _BUFFER_SKIP_SUFFIXES = (
 
 
 def torch_to_jax_layout(key: str, value: np.ndarray) -> np.ndarray:
-    """Transpose a torch tensor into our channels-last layouts by rank."""
+    """Transpose a torch tensor into our channels-last layouts by rank.
+
+    Rules: only '.weight' leaves are transposed (Linear (out,in)->(in,out),
+    ConvNd channels-last); embedding tables keep (vocab, dim); the fused MHA
+    'in_proj_weight' transposes like a Linear; everything else (biases, norm
+    scales, raw nn.Parameters like 'latents'/'positional_embedding'/'alpha'/
+    'embeddings_table') is passed through unchanged.
+    """
     leaf = key.rsplit(".", 1)[-1]
-    base = key.split(".")[-2] if "." in key else ""
-    if leaf != "weight" or any(key.endswith(s) for s in _KEEP_LAYOUT_SUFFIXES):
-        if base and any(base.endswith(s) for s in _KEEP_LAYOUT_SUFFIXES):
-            return value
-        if leaf != "weight":
-            return value
+    if leaf == "in_proj_weight":
+        return value.T
+    if leaf != "weight":
+        return value
+    if any(key == s + ".weight" or key.endswith("." + s + ".weight")
+           for s in _EMBEDDING_MODULES):
+        return value
     if value.ndim == 2:
         return value.T                      # Linear
     if value.ndim == 3:
