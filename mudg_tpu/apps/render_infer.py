@@ -1,0 +1,193 @@
+"""Multi-modal inference app: autoregressive novel-view video synthesis.
+
+Rebuild of `virtual_render/virtual_pose_render.py:150-368` (run_inference_multi):
+  * three task batches (color / depth / semantic) share one sparse-RGB + one
+    sparse-depth condition window; distinct class labels 0/500/1,
+  * all three tasks AND their CFG variants run in ONE jitted sampler call
+    (batch tasks*variants per UNet step),
+  * autoregressive sliding window: advance by video_length//2 frames, splice
+    the previous window's generated color frames into the next window's
+    sparse condition, always re-anchoring frame 0 to dense GT (:246,271-274),
+  * per-task saving: color PNGs, depth .npy + Spectral visualization,
+    semantic nearest-palette decode, side-by-side compare mp4s.
+
+Usage:
+    python -m mudg_tpu.apps.render_infer --items items.txt --out out/ \
+        [--ckpt model.ckpt] [--height 320 --width 512] [--steps 50]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+TASKS = ("color", "depth", "semantic")
+
+
+def load_params(args, cfg):
+    import jax
+    import jax.numpy as jnp
+    from ..models import mdm as M
+
+    if args.ckpt and args.ckpt.endswith(".ckpt"):
+        from ..train import checkpoint as C
+
+        trees = C.load_mudg_checkpoint(args.ckpt)
+        params = {
+            "unet": trees["unet"],
+            "vae": trees["vae"],
+            "image_proj": trees["image_proj"],
+            "clip_text": trees["clip_text"].get("model", trees["clip_text"]),
+            "clip_image": trees["clip_image"].get("model", {}).get("visual",
+                          trees["clip_image"]),
+        }
+        params = jax.tree.map(jnp.asarray, params)
+    elif args.ckpt:
+        from ..train import checkpoint as C
+
+        params = C.load_pytree(args.ckpt)
+    else:
+        print("WARNING: no checkpoint given; using random weights")
+        params = M.init_mdm(jax.random.PRNGKey(0), cfg)
+    return params
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--items", required=True, help="dict-per-line item file")
+    p.add_argument("--out", required=True)
+    p.add_argument("--ckpt", default=None)
+    p.add_argument("--bpe", default=None, help="CLIP BPE vocab path")
+    p.add_argument("--height", type=int, default=320)
+    p.add_argument("--width", type=int, default=512)
+    p.add_argument("--video_length", type=int, default=16)
+    p.add_argument("--steps", type=int, default=50)
+    p.add_argument("--cfg_scale", type=float, default=7.5)
+    p.add_argument("--cfg_img", type=float, default=None)
+    p.add_argument("--multiple_cond_cfg", action="store_true")
+    p.add_argument("--guidance_rescale", type=float, default=0.7)
+    p.add_argument("--eta", type=float, default=1.0)
+    p.add_argument("--timestep_spacing", default="uniform_trailing")
+    p.add_argument("--fps", type=int, default=10)
+    p.add_argument("--prompt", default="A photo a of driving scene.")
+    p.add_argument("--seed", type=int, default=123)
+    p.add_argument("--max_windows", type=int, default=None)
+    p.add_argument("--base_scale", type=float, default=None,
+                   help="dynamic-rescale base (0.7 stage1 / 0.3 stage2)")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from ..models import mdm as M
+    from ..data import conditions as DC
+    from ..data.waymo import read_items
+    from ..conditioning.tokenizer import default_tokenizer
+    from ..utils import media
+
+    assert args.height % 16 == 0 and args.width % 16 == 0, \
+        "image size must be a multiple of 16"  # virtual_pose_render.py:165
+
+    cfg = M.MDMConfig() if args.base_scale is None else M.MDMConfig(base_scale=args.base_scale)
+    params = load_params(args, cfg)
+    tokenizer = default_tokenizer(args.bpe)
+    resolution = (args.height, args.width)
+    vl = args.video_length
+
+    items = read_items(args.items)
+    n_items = len(items)
+
+    tokens = jnp.asarray(tokenizer([args.prompt] * len(TASKS)))
+    null_tokens = jnp.asarray(tokenizer([""])[0])
+
+    sample_fn = jax.jit(
+        partial(
+            M.sample, params, cfg,
+            tokens=tokens, null_tokens=null_tokens,
+            num_steps=args.steps, guidance_scale=args.cfg_scale,
+            cfg_img=args.cfg_img, multiple_cond_cfg=args.multiple_cond_cfg,
+            guidance_rescale=args.guidance_rescale, eta=args.eta,
+            timestep_spacing=args.timestep_spacing, fs=args.fps,
+        ),
+        static_argnames=(),
+    )
+
+    rng = jax.random.PRNGKey(args.seed)
+    os.makedirs(args.out, exist_ok=True)
+    compare = {t: [] for t in TASKS}
+
+    index = 0
+    carry_color = None  # generated frames spliced into next window
+    n_windows = 0
+    t_start = time.time()
+    while index < n_items:
+        sample = items[index]
+        task_data = {t: DC.get_task_frames(sample, t, resolution) for t in TASKS}
+        sparse_depth = DC.get_sparse_depth(sample, resolution)
+
+        sparse = task_data["color"]["sparse_frames"].copy()
+        if carry_color is not None:
+            # splice previous generated colors into the first half
+            sparse[0 : vl // 2] = carry_color[: vl // 2]
+            sparse[0] = task_data["color"]["dense_frames"][0]  # re-anchor GT
+
+        sparse_b = np.stack([sparse] * len(TASKS))
+        depth_b = np.stack([sparse_depth] * len(TASKS))
+        labels = np.asarray(
+            [task_data[t]["class_label"] for t in TASKS], np.int32
+        )
+
+        rng, key = jax.random.split(rng)
+        out = sample_fn(
+            key,
+            sparse_frames=jnp.asarray(sparse_b),
+            sparse_depth=jnp.asarray(depth_b),
+            class_label=jnp.asarray(labels),
+        )
+        out = np.asarray(out)  # (3, T, H, W, 3) in [-1,1]
+
+        for ti, task in enumerate(TASKS):
+            video = out[ti]
+            dense = task_data[task]["dense_frames"]
+            tdir = os.path.join(args.out, f"virtual_{task}")
+            os.makedirs(tdir, exist_ok=True)
+            for fi in range(vl):
+                gi = index + fi
+                re_u8 = media.to_uint8(video[fi])
+                gt_u8 = media.to_uint8(dense[fi])
+                if task == "depth":
+                    # mean over channels -> metric depth (eval_tools.py:72-75)
+                    d = (video[fi].mean(-1) + 1) / 2 * 100.0
+                    np.save(os.path.join(tdir, f"depth_re_{gi}.npy"), d)
+                    re_u8 = media.visualize_depth(d, vmin=0, vmax=100)
+                elif task == "semantic":
+                    re_u8, _ = media.decode_semantic(re_u8.astype(np.float32))
+                media.save_image(os.path.join(tdir, f"{task}_re_{gi}.png"), re_u8)
+                media.save_image(os.path.join(tdir, f"{task}_gt_{gi}.png"), gt_u8)
+                if fi >= 1 and fi <= vl // 2:
+                    compare[task].append(np.concatenate([re_u8, gt_u8], axis=1))
+
+        # autoregressive carry: second half of the generated color window
+        carry_color = out[0, vl // 2 :].copy()
+        index += vl // 2
+        n_windows += 1
+        if args.max_windows and n_windows >= args.max_windows:
+            break
+        print(f"window {n_windows}: frames {index - vl // 2}..{index}")
+
+    for task in TASKS:
+        if compare[task]:
+            media.save_video(
+                os.path.join(args.out, f"compare_{task}.mp4"),
+                np.stack(compare[task]), fps=args.fps,
+            )
+    dt = time.time() - t_start
+    print(f"done: {n_windows} windows in {dt:.1f}s "
+          f"({dt / max(n_windows, 1):.1f}s/window)")
+
+
+if __name__ == "__main__":
+    main()

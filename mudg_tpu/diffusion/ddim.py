@@ -71,19 +71,27 @@ def ddim_step(x, v, const, noise, *, temperature=1.0):
     pytree slice of DDIMConstants for this step; noise: same shape as x.
     """
     nd = (1,) * (x.ndim - 1)
+    dtype = x.dtype
+    # sampler algebra in fp32 (cheap relative to the UNet; avoids bf16 drift
+    # across 25-50 sequential updates), carry dtype preserved for the scan
+    xf = x.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
     a_t = const.alphas.reshape(-1, *nd)
     a_prev = const.alphas_prev.reshape(-1, *nd)
     soma = const.sqrt_one_minus.reshape(-1, *nd)
     sigma = const.sigmas.reshape(-1, *nd)
     sa = jnp.sqrt(a_t)
 
-    e_t = sa * v + soma * x
-    pred_x0 = sa * x - soma * v
+    e_t = sa * vf + soma * xf
+    pred_x0 = sa * xf - soma * vf
     pred_x0 = pred_x0 * (const.scale_prev / const.scale).reshape(-1, *nd)
 
     dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma**2, 0.0)) * e_t
-    x_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt + sigma * noise * temperature
-    return x_prev, pred_x0
+    x_prev = (
+        jnp.sqrt(a_prev) * pred_x0 + dir_xt
+        + sigma * noise.astype(jnp.float32) * temperature
+    )
+    return x_prev.astype(dtype), pred_x0.astype(dtype)
 
 
 def ddim_sample(

@@ -1,0 +1,185 @@
+"""Training step: optimizer, EMA, gradient accumulation, mesh sharding.
+
+TPU rebuild of the reference training runtime (`main/trainer.py`,
+PL + DDPSharded + fp16): the step is one jitted function over a device mesh —
+batch sharded on ('data',), trainable params replicated, optimizer moments
+ZeRO-sharded (parallel/mesh.py). XLA inserts the gradient all-reduce over ICI.
+
+Matches the reference recipe:
+  * AdamW (ddpm3d.py:1292), lr = base_lr (scale_lr False in the stage
+    configs; trainer.py:88-93 otherwise multiplies by world_size*bs),
+  * global-norm gradient clipping 0.5 (config.yaml:139-140),
+  * grad accumulation 2 via lax.scan microbatches (config.yaml:133),
+  * trainable set = UNet + image projector; VAE/CLIP frozen
+    (ddpm3d.py:1267-1282),
+  * LitEma decay with warmup min(decay, (1+n)/(10+n)) (lvdm/ema.py:29-34).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models import mdm as M
+
+TRAINABLE_KEYS = ("unet", "image_proj")
+FROZEN_KEYS = ("vae", "clip_text", "clip_image")
+
+
+class TrainState(NamedTuple):
+    params: Any          # trainable sub-pytree {unet, image_proj}
+    opt_state: Any
+    ema_params: Any | None
+    step: jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    learning_rate: float = 1.0e-5      # config.yaml:3
+    weight_decay: float = 0.01         # torch AdamW default
+    beta1: float = 0.9
+    beta2: float = 0.999
+    grad_clip: float = 0.5             # config.yaml:140
+    accum_steps: int = 2               # config.yaml:133
+    use_ema: bool = False              # config.yaml:23
+    ema_decay: float = 0.9999
+    scale_lr: bool = False
+    temporal_frozen: bool = False      # stage-2: freeze temporal layers
+
+
+def split_params(params: dict):
+    trainable = {k: params[k] for k in TRAINABLE_KEYS if k in params}
+    frozen = {k: params[k] for k in FROZEN_KEYS if k in params}
+    return trainable, frozen
+
+
+def merge_params(trainable: dict, frozen: dict) -> dict:
+    return {**trainable, **frozen}
+
+
+def temporal_frozen_mask(unet_cfg, unet_params) -> dict:
+    """True/False pytree over UNet params marking *trainable* leaves under
+    stage-2 temporal freezing: the per-level TemporalTransformers are frozen
+    (attention.py:522-527 via temporal_frozen=True in the stage-2 config);
+    init_attn and temporal convs stay trainable (they receive no
+    temporal_frozen flag, openaimodel3d.py:404-414)."""
+    from ..nn.unet3d import block_plan
+
+    inp_plan, mid_plan, out_plan = block_plan(unet_cfg)
+
+    def mark(plans, blocks):
+        out = {}
+        for i, plan in enumerate(plans):
+            bi = {}
+            for j, (ltype, _) in enumerate(plan):
+                trainable = ltype != "temporal"
+                bi[str(j)] = jax.tree.map(lambda _: trainable, blocks[str(i)][str(j)])
+            out[str(i)] = bi
+        return out
+
+    mask = {k: jax.tree.map(lambda _: True, v) for k, v in unet_params.items()
+            if k not in ("input_blocks", "middle_block", "output_blocks")}
+    mask["input_blocks"] = mark(inp_plan, unet_params["input_blocks"])
+    mask["output_blocks"] = mark(out_plan, unet_params["output_blocks"])
+    mask["middle_block"] = {
+        str(j): jax.tree.map(lambda _: ltype != "temporal", unet_params["middle_block"][str(j)])
+        for j, (ltype, _) in enumerate(mid_plan)
+    }
+    return mask
+
+
+def make_optimizer(tc: TrainConfig, world_batch: int | None = None):
+    lr = tc.learning_rate
+    if tc.scale_lr and world_batch:
+        lr = lr * world_batch  # trainer.py:91
+    return optax.chain(
+        optax.clip_by_global_norm(tc.grad_clip),
+        optax.adamw(lr, b1=tc.beta1, b2=tc.beta2, weight_decay=tc.weight_decay),
+    )
+
+
+def init_train_state(params: dict, tc: TrainConfig) -> TrainState:
+    trainable, _ = split_params(params)
+    opt = make_optimizer(tc)
+    opt_state = opt.init(trainable)
+    ema = jax.tree.map(jnp.copy, trainable) if tc.use_ema else None
+    return TrainState(trainable, opt_state, ema, jnp.zeros((), jnp.int32))
+
+
+def ema_update(ema, new, step, decay=0.9999):
+    """LitEma shadow update with warmup (lvdm/ema.py:29-41)."""
+    d = jnp.minimum(decay, (1.0 + step) / (10.0 + step))
+    return jax.tree.map(lambda e, p: e - (1.0 - d) * (e - p), ema, new)
+
+
+def make_train_step(
+    cfg: M.MDMConfig,
+    tc: TrainConfig,
+    frozen_params: dict,
+    sched_arrays,
+    null_tokens,
+    *,
+    grad_mask=None,
+    impl: str = "auto",
+    donate: bool = True,
+):
+    """Build the jitted train step: (state, batch, rng) -> (state, metrics).
+
+    batch leaves have a leading microbatch axis when tc.accum_steps > 1:
+    (accum, B_micro, ...). The scan accumulates gradients before one
+    optimizer update (the accumulate_grad_batches analog). `grad_mask` is a
+    True/False pytree over trainable params (see temporal_frozen_mask);
+    False leaves get zero updates.
+    """
+    opt = make_optimizer(tc)
+
+    def loss_fn(trainable, batch, rng):
+        params = merge_params(trainable, frozen_params)
+        return M.training_loss(
+            params, cfg, sched_arrays, batch, rng,
+            null_tokens=null_tokens, impl=impl, remat=True,
+        )
+
+    def step_fn(state: TrainState, batch, rng):
+        if tc.accum_steps > 1:
+            keys = jax.random.split(rng, tc.accum_steps)
+
+            def micro(carry, xs):
+                grads_acc, loss_acc = carry
+                mb, k = xs
+                (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                    state.params, mb, k
+                )
+                grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+                return (grads_acc, loss_acc + loss), None
+
+            zero = jax.tree.map(jnp.zeros_like, state.params)
+            (grads, loss), _ = jax.lax.scan(
+                micro, (zero, jnp.zeros(())), (batch, keys)
+            )
+            grads = jax.tree.map(lambda g: g / tc.accum_steps, grads)
+            loss = loss / tc.accum_steps
+        else:
+            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, batch, rng
+            )
+
+        if grad_mask is not None:
+            grads = jax.tree.map(
+                lambda g, m: g * jnp.asarray(m, g.dtype), grads, grad_mask
+            )
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = state.ema_params
+        if ema is not None:
+            ema = ema_update(ema, params, state.step, tc.ema_decay)
+        gnorm = optax.global_norm(grads)
+        new_state = TrainState(params, opt_state, ema, state.step + 1)
+        return new_state, {"loss": loss, "grad_norm": gnorm}
+
+    donate_args = (0,) if donate else ()
+    return jax.jit(step_fn, donate_argnums=donate_args)
