@@ -1,0 +1,259 @@
+"""Diffusion-supervised 3DGS scene refinement (the paper's stage the
+reference delegates to external CUDA repos, README.md:113-114).
+
+Optimizes a fixed-capacity Gaussian set against MDM-generated supervision:
+RGB (L1 + D-SSIM), optional depth L1 on the alpha-weighted expected depth.
+Per-parameter-group Adam learning rates follow the 3DGS defaults. Adaptive
+density control (clone/split/prune) runs on host between jitted segments and
+reuses inactive capacity slots so array shapes never change (no recompiles).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .gaussians import Gaussians
+from .rasterize import rasterize
+
+
+@dataclasses.dataclass(frozen=True)
+class GSConfig:
+    lr_means: float = 1.6e-4
+    lr_scales: float = 5e-3
+    lr_quats: float = 1e-3
+    lr_opacity: float = 0.05
+    lr_colors: float = 2.5e-3
+    ssim_weight: float = 0.2
+    depth_weight: float = 0.1
+    densify_every: int = 100
+    densify_grad_thresh: float = 2e-4
+    prune_opacity_thresh: float = 0.005
+    split_scale_thresh: float = 0.05   # world units; split if larger
+    max_per_tile: int = 256
+    tiles_per_gaussian: int = 16
+
+
+def gaussian_window(size=11, sigma=1.5):
+    g = np.exp(-((np.arange(size) - size // 2) ** 2) / (2 * sigma**2))
+    g = g / g.sum()
+    return jnp.asarray(np.outer(g, g), jnp.float32)
+
+
+def ssim(a, b, window=None):
+    """Single-scale SSIM on (H, W, C) images in [0,1] (3DGS loss component)."""
+    if window is None:
+        window = gaussian_window()
+    w = window[:, :, None, None]  # HWIO with I=1
+
+    def filt(x):
+        return jax.lax.conv_general_dilated(
+            x.transpose(2, 0, 1)[:, None],  # (C,1,H,W)
+            window[None, None],
+            (1, 1), "SAME",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        )[:, 0].transpose(1, 2, 0)
+
+    mu_a, mu_b = filt(a), filt(b)
+    sig_a = filt(a * a) - mu_a**2
+    sig_b = filt(b * b) - mu_b**2
+    sig_ab = filt(a * b) - mu_a * mu_b
+    c1, c2 = 0.01**2, 0.03**2
+    s = ((2 * mu_a * mu_b + c1) * (2 * sig_ab + c2)) / (
+        (mu_a**2 + mu_b**2 + c1) * (sig_a + sig_b + c2)
+    )
+    return jnp.mean(s)
+
+
+class GSTrainState(NamedTuple):
+    gaussians: Gaussians
+    opt_state: object
+    grad_accum: jnp.ndarray   # (N,) accumulated positional grad norms
+    grad_count: jnp.ndarray   # (N,)
+    step: jnp.ndarray
+
+
+def _float_fields(g: Gaussians) -> dict:
+    return {"means": g.means, "log_scales": g.log_scales, "quats": g.quats,
+            "opacity": g.opacity, "colors": g.colors}
+
+
+def _with_floats(g: Gaussians, f: dict) -> Gaussians:
+    return Gaussians(means=f["means"], log_scales=f["log_scales"],
+                     quats=f["quats"], opacity=f["opacity"],
+                     colors=f["colors"], active=g.active)
+
+
+def make_gs_optimizer(cfg: GSConfig):
+    """Per-field Adam via optax.multi_transform over the trainable fields
+    (the boolean active mask is not a parameter)."""
+    labels = {"means": "means", "log_scales": "scales", "quats": "quats",
+              "opacity": "opacity", "colors": "colors"}
+    tx = {
+        "means": optax.adam(cfg.lr_means),
+        "scales": optax.adam(cfg.lr_scales),
+        "quats": optax.adam(cfg.lr_quats),
+        "opacity": optax.adam(cfg.lr_opacity),
+        "colors": optax.adam(cfg.lr_colors),
+    }
+    return optax.multi_transform(tx, labels)
+
+
+def init_state(g: Gaussians, cfg: GSConfig) -> GSTrainState:
+    opt = make_gs_optimizer(cfg)
+    return GSTrainState(
+        gaussians=g,
+        opt_state=opt.init(_float_fields(g)),
+        grad_accum=jnp.zeros((g.n,), jnp.float32),
+        grad_count=jnp.zeros((g.n,), jnp.float32),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_gs_train_step(cfg: GSConfig, *, width: int, height: int):
+    opt = make_gs_optimizer(cfg)
+    raster = partial(
+        rasterize, width=width, height=height,
+        max_per_tile=cfg.max_per_tile, tiles_per_gaussian=cfg.tiles_per_gaussian,
+    )
+
+    def loss_fn(floats, active, K, w2c, target_rgb, target_depth, depth_mask):
+        g = _with_floats(Gaussians(None, None, None, None, None, active), floats)
+        out = raster(g, K, w2c)
+        l1 = jnp.mean(jnp.abs(out.color - target_rgb))
+        loss = (1 - cfg.ssim_weight) * l1 + cfg.ssim_weight * (
+            1.0 - ssim(out.color, target_rgb)
+        )
+        if target_depth is not None:
+            d = out.depth / jnp.maximum(out.alpha, 1e-6)
+            dl = jnp.abs(d - target_depth) * depth_mask
+            loss = loss + cfg.depth_weight * jnp.sum(dl) / jnp.maximum(
+                jnp.sum(depth_mask), 1.0
+            )
+        return loss, out
+
+    @jax.jit
+    def step(state: GSTrainState, K, w2c, target_rgb, target_depth, depth_mask):
+        floats = _float_fields(state.gaussians)
+        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            floats, state.gaussians.active, K, w2c, target_rgb, target_depth,
+            depth_mask,
+        )
+        updates, opt_state = opt.update(grads, state.opt_state, floats)
+        g = _with_floats(state.gaussians, optax.apply_updates(floats, updates))
+        # densification statistics: positional gradient magnitude
+        pos_grad = jnp.linalg.norm(grads["means"], axis=-1)
+        touched = pos_grad > 0
+        new_state = GSTrainState(
+            gaussians=g,
+            opt_state=opt_state,
+            grad_accum=state.grad_accum + pos_grad,
+            grad_count=state.grad_count + touched.astype(jnp.float32),
+            step=state.step + 1,
+        )
+        return new_state, {"loss": loss}
+
+    return step
+
+
+def densify_and_prune(state: GSTrainState, cfg: GSConfig) -> GSTrainState:
+    """Host-side adaptive density control reusing inactive slots.
+
+    Prune: opacity below threshold. Clone: high positional gradient + small
+    scale (copy, slight offset). Split: high gradient + large scale (shrink
+    by 1.6, sample two children). New gaussians overwrite inactive slots up
+    to capacity; shapes never change.
+    """
+    g = jax.device_get(state.gaussians)
+    accum = np.asarray(state.grad_accum)
+    count = np.maximum(np.asarray(state.grad_count), 1.0)
+    avg_grad = accum / count
+    active = np.asarray(g.active).copy()
+    opacity = 1 / (1 + np.exp(-np.asarray(g.opacity)))
+    scales = np.exp(np.asarray(g.log_scales)).max(axis=-1)
+
+    means = np.asarray(g.means).copy()
+    log_scales = np.asarray(g.log_scales).copy()
+    quats = np.asarray(g.quats).copy()
+    opa = np.asarray(g.opacity).copy()
+    colors = np.asarray(g.colors).copy()
+
+    # prune
+    prune = active & (opacity < cfg.prune_opacity_thresh)
+    active[prune] = False
+
+    hot = active & (avg_grad > cfg.densify_grad_thresh)
+    clone_src = np.where(hot & (scales <= cfg.split_scale_thresh))[0]
+    split_src = np.where(hot & (scales > cfg.split_scale_thresh))[0]
+    free = np.where(~active)[0]
+
+    fi = 0
+    rng = np.random.default_rng(int(state.step))
+    for src in clone_src:
+        if fi >= len(free):
+            break
+        dst = free[fi]; fi += 1
+        means[dst] = means[src] + rng.normal(0, np.exp(log_scales[src]).mean() * 0.1, 3)
+        log_scales[dst] = log_scales[src]
+        quats[dst] = quats[src]
+        opa[dst] = opa[src]
+        colors[dst] = colors[src]
+        active[dst] = True
+    for src in split_src:
+        if fi >= len(free):
+            break
+        dst = free[fi]; fi += 1
+        offset = rng.normal(0, np.exp(log_scales[src]).mean() * 0.5, 3)
+        means[dst] = means[src] + offset
+        means[src] = means[src] - offset
+        log_scales[src] = log_scales[src] - np.log(1.6)
+        log_scales[dst] = log_scales[src]
+        quats[dst] = quats[src]
+        opa[dst] = opa[src]
+        colors[dst] = colors[src]
+        active[dst] = True
+
+    new_g = Gaussians(
+        means=jnp.asarray(means), log_scales=jnp.asarray(log_scales),
+        quats=jnp.asarray(quats), opacity=jnp.asarray(opa),
+        colors=jnp.asarray(colors), active=jnp.asarray(active),
+    )
+    opt = make_gs_optimizer(cfg)
+    return GSTrainState(
+        gaussians=new_g,
+        opt_state=opt.init(_float_fields(new_g)),  # moments reset after re-allocation
+        grad_accum=jnp.zeros_like(state.grad_accum),
+        grad_count=jnp.zeros_like(state.grad_count),
+        step=state.step,
+    )
+
+
+def fit_scene(gaussians: Gaussians, views: list[dict], cfg: GSConfig,
+              *, width: int, height: int, steps: int = 1000,
+              log_every: int = 100, seed: int = 0):
+    """views: list of dicts with K, w2c, rgb (H,W,3 [0,1]),
+    optional depth (H,W) + depth_mask. Returns trained state + history."""
+    state = init_state(gaussians, cfg)
+    step_fn = make_gs_train_step(cfg, width=width, height=height)
+    rng = np.random.default_rng(seed)
+    history = []
+    for i in range(steps):
+        v = views[int(rng.integers(len(views)))]
+        td = v.get("depth")
+        tm = v.get("depth_mask")
+        if td is None:
+            td = jnp.zeros((height, width), jnp.float32)
+            tm = jnp.zeros((height, width), jnp.float32)
+        state, metrics = step_fn(
+            state, v["K"], v["w2c"], v["rgb"], td, tm
+        )
+        if (i + 1) % cfg.densify_every == 0:
+            state = densify_and_prune(state, cfg)
+        if (i + 1) % log_every == 0:
+            history.append({"step": i + 1, "loss": float(metrics["loss"])})
+    return state, history

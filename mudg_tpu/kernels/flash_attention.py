@@ -66,7 +66,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k, seq_k):
     a0 = jnp.zeros((bq, d), jnp.float32)
     m, l, acc = jax.lax.fori_loop(0, nk, body, (m0, l0, a0))
     o_ref[0] = (acc / l).astype(o_ref.dtype)
-    lse_ref[0] = (m + jnp.log(l))[:, 0]
+    lse_ref[0] = m + jnp.log(l)  # (BQ, 1)
 
 
 def _flash_fwd(q, k, v):
@@ -81,7 +81,9 @@ def _flash_fwd(q, k, v):
     grid = (bh, lq // bq)
     out_shapes = (
         jax.ShapeDtypeStruct(q.shape, q.dtype),
-        jax.ShapeDtypeStruct((bh, lq), jnp.float32),
+        # lse carried as (BH, L, 1): TPU blocks need sublane %8 == 0 and the
+        # lane dim equal to the array dim, which (1, bq, 1) satisfies
+        jax.ShapeDtypeStruct((bh, lq, 1), jnp.float32),
     )
     o, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, block_k=bk, seq_k=lk),
@@ -93,7 +95,7 @@ def _flash_fwd(q, k, v):
         ],
         out_specs=(
             pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq), lambda b, i: (b, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 1), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=out_shapes,
         interpret=_interpret(),
@@ -109,8 +111,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
                    *, scale, block_k, seq_k):
     q = q_ref[0].astype(jnp.float32)
     do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0][:, None]
-    delta = delta_ref[0][:, None]
+    lse = lse_ref[0]      # (BQ, 1)
+    delta = delta_ref[0]  # (BQ, 1)
     bq, d = q.shape
 
     def body(i, dq):
@@ -140,8 +142,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dk, dv = carry
         q = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
         do = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
-        lse = lse_ref[0, pl.ds(i * block_q, block_q)][:, None]
-        delta = delta_ref[0, pl.ds(i * block_q, block_q)][:, None]
+        lse = lse_ref[0, pl.ds(i * block_q, block_q), :]      # (BQ, 1)
+        delta = delta_ref[0, pl.ds(i * block_q, block_q), :]  # (BQ, 1)
         s = scale * jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (BQ, BK)
@@ -171,7 +173,9 @@ def _flash_bwd(q, k, v, o, lse, do):
     bq = _pick_block(lq)
     bk = _pick_block(lk, (512, 256, 128, 64))
 
-    delta = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)  # (BH, L)
+    delta = jnp.sum(
+        o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1, keepdims=True
+    )  # (BH, L, 1)
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=scale, block_k=bk, seq_k=lk),
@@ -181,8 +185,8 @@ def _flash_bwd(q, k, v, o, lse, do):
             pl.BlockSpec((1, lk, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, lk, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq), lambda b, i: (b, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq), lambda b, i: (b, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 1), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 1), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
@@ -197,8 +201,8 @@ def _flash_bwd(q, k, v, o, lse, do):
             pl.BlockSpec((1, bk, d), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bk, d), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, lq, d), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lq), lambda b, j: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lq), lambda b, j: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lq, 1), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lq, 1), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, bk, d), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),

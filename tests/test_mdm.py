@@ -19,7 +19,7 @@ def tiny_mdm_cfg():
             attention_resolutions=(1,), channel_mult=(1, 2), num_head_channels=16,
             context_dim=16, temporal_length=4, image_tokens_per_frame=2,
         ),
-        vae=V.VAEConfig(ch=32, ch_mult=(1, 2, 4), num_res_blocks=1),
+        vae=V.VAEConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1),
         resampler=R.ResamplerConfig(
             dim=16, depth=1, dim_head=8, heads=2, num_queries=2,
             embedding_dim=24, output_dim=16, video_length=4,
@@ -32,7 +32,7 @@ def tiny_mdm_cfg():
     )
 
 
-B, T, H, W = 2, 4, 32, 32  # VAE here is f=4 (ch_mult len 3) -> latents 8x8
+B, T, H, W = 2, 4, 16, 16  # VAE here is f=2 (ch_mult len 2) -> latents 8x8
 
 
 @pytest.fixture(scope="module")
@@ -54,7 +54,7 @@ def setup():
 def test_encode_conditions_shapes(setup):
     cfg, params, batch = setup
     cc = M.encode_conditions(params, cfg, batch["sparse_frames"], batch["sparse_depth"])
-    assert cc.shape == (B, T, H // 4, W // 4, 8)
+    assert cc.shape == (B, T, H // 2, W // 2, 8)
 
 
 def test_embed_image_shapes(setup):
@@ -117,7 +117,7 @@ def test_sample_three_point_cfg_latents(setup):
         num_steps=2, guidance_scale=7.5, cfg_img=1.5, multiple_cond_cfg=True,
         decode=False, impl="xla",
     )
-    assert z.shape == (B, T, H // 4, W // 4, 4)
+    assert z.shape == (B, T, H // 2, W // 2, 4)
     assert np.all(np.isfinite(np.asarray(z)))
 
 
