@@ -66,17 +66,17 @@ def main():
     labels = jnp.zeros((n_var * b,), jnp.int32)
     fs = jnp.full((n_var * b,), 10, jnp.int32)
 
-    def model_fn(x, tstep):
-        xb = jnp.tile(x, (n_var, 1, 1, 1, 1))
-        xin = jnp.concatenate([xb, c_concat], axis=-1)
-        tb = jnp.tile(tstep, (n_var,))
-        v = U.unet_apply(unet, ucfg, xin, tb, context, c_label=labels, fs=fs)
-        e_uc, e_c = jnp.split(v, 2, axis=0)
-        out = D.cfg_combine(e_uc, e_c, guidance_scale)
-        return D.rescale_noise_cfg(out, e_c, guidance_rescale)
-
     @jax.jit
-    def clip_fn(key):
+    def clip_fn(unet, vae, c_concat, context, key):
+        def model_fn(x, tstep):
+            xb = jnp.tile(x, (n_var, 1, 1, 1, 1))
+            xin = jnp.concatenate([xb, c_concat], axis=-1)
+            tb = jnp.tile(tstep, (n_var,))
+            v = U.unet_apply(unet, ucfg, xin, tb, context, c_label=labels, fs=fs)
+            e_uc, e_c = jnp.split(v, 2, axis=0)
+            out = D.cfg_combine(e_uc, e_c, guidance_scale)
+            return D.rescale_noise_cfg(out, e_c, guidance_rescale)
+
         z = ddim.ddim_sample(model_fn, key, (b, t, hh, ww, 4), consts, dtype=dtype)
         x = V.decode_video(vae, vcfg, z.astype(jnp.float32), chunk=1)
         return jnp.clip(x, -1, 1)
@@ -84,14 +84,14 @@ def main():
     # compile + warmup
     log("compiling + warmup")
     t0 = time.perf_counter()
-    out = clip_fn(jax.random.PRNGKey(1))
+    out = clip_fn(unet, vae, c_concat, context, jax.random.PRNGKey(1))
     out.block_until_ready()
     log(f"compile+first run: {time.perf_counter() - t0:.1f}s")
 
     times = []
     for i in range(3):
         t0 = time.perf_counter()
-        out = clip_fn(jax.random.PRNGKey(2 + i))
+        out = clip_fn(unet, vae, c_concat, context, jax.random.PRNGKey(2 + i))
         out.block_until_ready()
         times.append(time.perf_counter() - t0)
 

@@ -74,13 +74,14 @@ def main(argv=None):
     p.add_argument("--prompt", default="A photo a of driving scene.")
     p.add_argument("--seed", type=int, default=123)
     p.add_argument("--max_windows", type=int, default=None)
+    p.add_argument("--preset", default="mdm512",
+                   choices=("mdm512", "mdm1024", "tiny"))
     p.add_argument("--base_scale", type=float, default=None,
-                   help="dynamic-rescale base (0.7 stage1 / 0.3 stage2)")
+                   help="dynamic-rescale base override (0.7 stage1 / 0.3 stage2)")
     args = p.parse_args(argv)
 
     import jax
     import jax.numpy as jnp
-    from functools import partial
 
     from ..models import mdm as M
     from ..data import conditions as DC
@@ -91,7 +92,13 @@ def main(argv=None):
     assert args.height % 16 == 0 and args.width % 16 == 0, \
         "image size must be a multiple of 16"  # virtual_pose_render.py:165
 
-    cfg = M.MDMConfig() if args.base_scale is None else M.MDMConfig(base_scale=args.base_scale)
+    from ..models import presets
+
+    cfg = presets.get(args.preset)
+    if args.base_scale is not None:
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, base_scale=args.base_scale)
     params = load_params(args, cfg)
     tokenizer = default_tokenizer(args.bpe)
     resolution = (args.height, args.width)
@@ -103,17 +110,20 @@ def main(argv=None):
     tokens = jnp.asarray(tokenizer([args.prompt] * len(TASKS)))
     null_tokens = jnp.asarray(tokenizer([""])[0])
 
-    sample_fn = jax.jit(
-        partial(
-            M.sample, params, cfg,
-            tokens=tokens, null_tokens=null_tokens,
+    # params/tokens go through jit as ARGUMENTS (captured closures would be
+    # baked into the executable as constants -> multi-GB, slow compiles)
+    @jax.jit
+    def sample_fn(params, tokens, null_tokens, key, sparse_frames,
+                  sparse_depth, class_label):
+        return M.sample(
+            params, cfg, key,
+            sparse_frames=sparse_frames, sparse_depth=sparse_depth,
+            tokens=tokens, null_tokens=null_tokens, class_label=class_label,
             num_steps=args.steps, guidance_scale=args.cfg_scale,
             cfg_img=args.cfg_img, multiple_cond_cfg=args.multiple_cond_cfg,
             guidance_rescale=args.guidance_rescale, eta=args.eta,
             timestep_spacing=args.timestep_spacing, fs=args.fps,
-        ),
-        static_argnames=(),
-    )
+        )
 
     rng = jax.random.PRNGKey(args.seed)
     os.makedirs(args.out, exist_ok=True)
@@ -142,10 +152,8 @@ def main(argv=None):
 
         rng, key = jax.random.split(rng)
         out = sample_fn(
-            key,
-            sparse_frames=jnp.asarray(sparse_b),
-            sparse_depth=jnp.asarray(depth_b),
-            class_label=jnp.asarray(labels),
+            params, tokens, null_tokens, key,
+            jnp.asarray(sparse_b), jnp.asarray(depth_b), jnp.asarray(labels),
         )
         out = np.asarray(out)  # (3, T, H, W, 3) in [-1,1]
 

@@ -1,0 +1,55 @@
+"""App-level smoke tests: the full inference CLI end-to-end at tiny size."""
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+
+def test_render_infer_end_to_end(scene, tmp_path):
+    """Runs the complete inference app (condition loading -> jitted 3-task
+    sampler -> autoregressive carry -> savers) on the synthetic scene with
+    the tiny preset and random weights."""
+    from mudg_tpu.apps.make_conditions import render_scene_conditions
+    from mudg_tpu.data.waymo import write_items
+    from mudg_tpu.apps import render_infer
+
+    render_scene_conditions(scene, ("camera_FRONT",))
+    cam = "camera_FRONT"
+    item = {
+        "frames": [f"{i:08d}.jpg" for i in range(4)],
+        "dense_color_base": os.path.join(scene, "images", cam),
+        "sparse_color_base": os.path.join(scene, "sparse", cam),
+        "dense_semantic_base": os.path.join(scene, "semantic_dense", cam),
+        "dense_depth_base": os.path.join(scene, "six_frames_depth", cam),
+        "sparse_depth_base": os.path.join(scene, "depth", cam),
+    }
+    items_path = str(tmp_path / "items.txt")
+    write_items(items_path, [item] * 3)
+    out_dir = str(tmp_path / "out")
+
+    render_infer.main([
+        "--items", items_path, "--out", out_dir,
+        "--preset", "tiny", "--height", "32", "--width", "64",
+        "--video_length", "4", "--steps", "2", "--max_windows", "2",
+    ])
+
+    # generated + GT frames for each task, both windows
+    for task in ("color", "depth", "semantic"):
+        tdir = os.path.join(out_dir, f"virtual_{task}")
+        assert os.path.exists(os.path.join(tdir, f"{task}_re_0.png"))
+        assert os.path.exists(os.path.join(tdir, f"{task}_re_5.png"))  # window 2
+    # metric depth saved as npy in [0, 100]
+    d = np.load(os.path.join(out_dir, "virtual_depth", "depth_re_0.npy"))
+    assert d.shape == (32, 64)
+    assert 0 <= d.min() and d.max() <= 100
+    # compare videos assembled
+    assert os.path.exists(os.path.join(out_dir, "compare_color.mp4"))
+    # semantic decode produced palette colors only
+    sem = cv2.imread(os.path.join(out_dir, "virtual_semantic", "semantic_re_0.png"))[:, :, ::-1]
+    from mudg_tpu.utils.media import SEMANTIC_PALETTE
+
+    flat = sem.reshape(-1, 3)
+    pal = {tuple(c) for c in SEMANTIC_PALETTE[:19]}
+    assert all(tuple(px) in pal for px in flat[:50])

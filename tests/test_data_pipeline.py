@@ -16,79 +16,6 @@ from mudg_tpu.render import pointcloud as PC
 from mudg_tpu.render import lidar as L
 
 
-# ---------------------------------------------------------------------------
-# synthetic scene fixture
-# ---------------------------------------------------------------------------
-
-@pytest.fixture(scope="module")
-def scene(tmp_path_factory):
-    """Build a minimal processed-scene directory: a colored point cloud,
-    camera track, per-frame images, sparse/depth condition dirs."""
-    root = tmp_path_factory.mktemp("scene")
-    rng = np.random.default_rng(0)
-    n_frames, h, w = 4, 64, 96
-    cam = "camera_FRONT"
-
-    # camera track moving forward along +z (OpenCV convention)
-    K = np.array([[80.0, 0, w / 2], [0, 80.0, h / 2], [0, 0, 1]])
-    c2ws, hws, intrs = [], [], []
-    for i in range(n_frames):
-        c2w = np.eye(4)
-        c2w[2, 3] = i * 0.5
-        c2ws.append(c2w)
-        hws.append((h, w))
-        intrs.append(K)
-
-    scenario = {
-        "observers": {
-            cam: {"class_name": "Camera", "n_frames": n_frames,
-                  "data": {"hw": hws, "intr": intrs, "c2w": c2ws}},
-            "lidar_TOP": {"n_frames": n_frames},
-        }
-    }
-    with open(root / "scenario.pt", "wb") as f:
-        pickle.dump(scenario, f)
-
-    # background cloud: a wall of colored points at z=8
-    gx, gy = np.meshgrid(np.linspace(-4, 4, 60), np.linspace(-2.5, 2.5, 40))
-    xyz = np.stack([gx.ravel(), gy.ravel(), np.full(gx.size, 8.0)], 1).astype(np.float32)
-    rgb = rng.random((len(xyz), 3)).astype(np.float32) * 0.7 + 0.3
-    os.makedirs(root / "objects", exist_ok=True)
-    PC.store_ply(str(root / "objects" / "background.ply"), xyz, (rgb * 255).astype(np.uint8))
-
-    obj_info = [{
-        "id": "car0",
-        "visibility": np.ones(n_frames, np.int64),
-        "transform_obj": [np.eye(4) @ np.diag([1, 1, 1, 1.0]) for _ in range(n_frames)],
-        "point_cloud": {
-            "points": rng.normal(0, 0.3, (50, 3)).astype(np.float32) + [0.5, 0, 5.0],
-            "colors": np.full((50, 3), 0.6, np.float32),
-        },
-    }]
-    with open(root / "objects_info.pkl", "wb") as f:
-        pickle.dump(obj_info, f)
-
-    # dense camera images
-    img_dir = root / "images" / cam
-    os.makedirs(img_dir, exist_ok=True)
-    for i in range(n_frames):
-        img = (rng.random((h, w, 3)) * 255).astype(np.uint8)
-        cv2.imwrite(str(img_dir / f"{i:08d}.jpg"), img)
-    # dense semantic images
-    sem_dir = root / "semantic_dense" / cam
-    os.makedirs(sem_dir, exist_ok=True)
-    for i in range(n_frames):
-        ids = rng.integers(0, 19, (h, w))
-        cv2.imwrite(str(sem_dir / f"{i:08d}.jpg"),
-                    media.encode_semantic(ids)[:, :, ::-1])
-    # dense depth npys
-    dd = root / "six_frames_depth" / cam
-    os.makedirs(dd, exist_ok=True)
-    for i in range(n_frames):
-        np.save(str(dd / f"{i:08d}.npy"), rng.random((h, w)).astype(np.float32) * 60)
-    return str(root)
-
-
 def test_make_conditions_renders_scene(scene):
     from mudg_tpu.apps.make_conditions import render_scene_conditions
 
