@@ -44,14 +44,16 @@ def attend(q, k, v, *, bias=None, causal=False, impl="auto"):
     `bias` is an additive (Lq, Lk) or (B*H or 1, Lq, Lk) logit bias.
     """
     scale = q.shape[-1] ** -0.5
-    use_flash = impl == "flash" or (
-        impl == "auto"
-        and bias is None
+    eligible = (
+        bias is None
         and not causal
-        and q.shape[1] >= FLASH_MIN_SEQ
         and q.shape[1] == k.shape[1]
+        and q.shape[1] % 64 == 0
         and q.shape[-1] % 64 == 0
-        and _flash_available()
+    )
+    use_flash = eligible and (
+        (impl == "flash" and _flash_available())
+        or (impl == "auto" and q.shape[1] >= FLASH_MIN_SEQ and _flash_available())
     )
     if use_flash:
         from ..kernels.flash_attention import flash_attention

@@ -1,0 +1,89 @@
+"""Depth densification math, PFM I/O, segmentation driver, quality metrics."""
+import os
+
+import numpy as np
+import pytest
+
+from mudg_tpu.data import depth_tools as DT
+from mudg_tpu.data import segmentation as SEG
+from mudg_tpu.utils import metrics as MET
+
+
+def test_align_depth_recovers_scale_shift():
+    rng = np.random.default_rng(0)
+    true = rng.random((32, 32)).astype(np.float32) * 50 + 5
+    pred_rel = (true - 3.0) / 2.0  # relative depth: scale 2, shift 3
+    sparse = np.zeros_like(true)
+    idx = rng.integers(0, 32, (2, 60))
+    sparse[idx[0], idx[1]] = true[idx[0], idx[1]]
+    aligned, (a, b) = DT.align_depth(pred_rel, sparse)
+    np.testing.assert_allclose(a, 2.0, rtol=1e-4)
+    np.testing.assert_allclose(b, 3.0, atol=1e-3)
+    np.testing.assert_allclose(aligned, true, atol=1e-2)
+
+
+def test_fill_sky_and_clamp():
+    depth = np.full((8, 8), 30.0, np.float32)
+    sem = np.zeros((8, 8), np.int64)
+    sem[:2] = DT.SKY_CLASS
+    out = DT.fill_sky(depth, sem)
+    assert np.all(out[:2] == 100.0) and np.all(out[2:] == 30.0)
+    assert DT.clamp_metric(np.array([150.0]))[0] == 100.0
+
+
+def test_densify_classical_fills_holes():
+    sparse = np.zeros((24, 24), np.float32)
+    sparse[::4, ::4] = 10.0  # regular lidar-like grid
+    dense = DT.densify_classical(sparse, iterations=50)
+    assert np.all(dense > 0)  # every hole filled
+    np.testing.assert_allclose(dense[::4, ::4], 10.0, atol=1e-5)  # pins known
+    assert abs(dense.mean() - 10.0) < 1.0
+
+
+def test_densify_depth_map_pipeline():
+    sparse = np.zeros((16, 16), np.float32)
+    sparse[::2, ::2] = 20.0
+    sem = np.zeros((16, 16), np.int64)
+    sem[0] = DT.SKY_CLASS
+    out = DT.densify_depth_map(sparse, sem)
+    assert out.shape == (16, 16)
+    assert np.all(out[0] == 100.0)  # sky
+    assert np.all((out >= 0) & (out <= 100))
+
+
+def test_pfm_roundtrip(tmp_path):
+    data = np.random.default_rng(0).integers(0, 19, (20, 30)).astype(np.float32)
+    path = str(tmp_path / "x.pfm")
+    SEG.write_pfm(path, data)
+    back, scale = SEG.read_pfm(path)
+    np.testing.assert_array_equal(back, data)
+    assert scale == 1.0
+
+
+def test_segment_frames_with_stub_predictor(tmp_path, scene):
+    cam = "camera_FRONT"
+    out_root = str(tmp_path / "semantic")
+    pal_root = str(tmp_path / "semantic_rgb")
+
+    def stub_predictor(img):
+        return (img[:, :, 0] > 128).astype(np.int64) * 10  # fake 2-class seg
+
+    n = SEG.segment_frames(
+        os.path.join(scene, "images", cam), out_root, cam, stub_predictor,
+        palette_dir=pal_root,
+    )
+    assert n == 4
+    ids, _ = SEG.read_pfm(os.path.join(out_root, cam, "seg", "00000000.pfm"))
+    assert set(np.unique(ids)).issubset({0.0, 10.0})
+    assert os.path.exists(os.path.join(pal_root, cam, "00000000.jpg"))
+
+
+def test_psnr_and_ssim():
+    a = np.zeros((16, 16, 3))
+    assert MET.psnr(a, a) == float("inf")
+    b = a + 0.1
+    # MSE 0.01 over range 2 -> 10*log10(4/0.01) = 26.02
+    np.testing.assert_allclose(MET.psnr(a, b), 26.02, atol=0.01)
+    assert MET.ssim(np.random.rand(16, 16, 3), np.random.rand(16, 16, 3)) < 1.0
+    m, per = MET.video_psnr(np.zeros((2, 4, 4, 3)), np.full((2, 4, 4, 3), 0.1))
+    assert len(per) == 2
