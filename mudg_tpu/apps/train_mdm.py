@@ -17,6 +17,41 @@ import os
 import time
 
 
+def _log_samples(args, cfg, state, frozen, batch, tokenizer, step_i):
+    """ImageLogger analog (main/callbacks.py:15-101): sample the model on the
+    current batch's conditions and write mp4s under out/samples/."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..models import mdm as M
+    from ..train.step import merge_params
+    from ..utils import media
+
+    params = merge_params(jax.device_get(state.params), jax.device_get(frozen))
+    b = batch["sparse_frames"]
+    if b.ndim == 6:  # accum-shaped
+        b = {k: np.asarray(v[0][:1]) for k, v in batch.items()}
+    else:
+        b = {k: np.asarray(v[:1]) for k, v in batch.items()}
+    out = M.sample(
+        params, cfg, jax.random.PRNGKey(step_i),
+        sparse_frames=jnp.asarray(b["sparse_frames"]),
+        sparse_depth=jnp.asarray(b["sparse_depth"]),
+        tokens=jnp.asarray(b["tokens"]),
+        null_tokens=jnp.asarray(tokenizer([""])[0]),
+        class_label=jnp.asarray(b["class_label"]),
+        num_steps=args.__dict__.get("sample_steps", 10),
+        guidance_scale=7.5, guidance_rescale=0.7,
+    )
+    sdir = os.path.join(args.out, "samples")
+    os.makedirs(sdir, exist_ok=True)
+    media.save_video(
+        os.path.join(sdir, f"step_{step_i}.mp4"),
+        media.to_uint8(np.asarray(out[0])), fps=10,
+    )
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--items", required=True)
@@ -36,6 +71,11 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=20230211)
     p.add_argument("--use_ema", action="store_true")
     p.add_argument("--profile_dir", default=None, help="jax.profiler trace dir")
+    p.add_argument("--val_items", default=None)
+    p.add_argument("--val_every", type=int, default=2000)
+    p.add_argument("--sample_every", type=int, default=0,
+                   help="log sampled videos every N steps (ImageLogger analog)")
+    p.add_argument("--preset", default=None, choices=(None, "mdm512", "mdm1024", "tiny"))
     args = p.parse_args(argv)
 
     import jax
@@ -58,6 +98,10 @@ def main(argv=None):
         resolution = (args.height or 576, args.width or 1024)
         cfg = M.stage2_config()
         temporal_frozen = True
+    if args.preset:
+        from ..models import presets
+
+        cfg = presets.get(args.preset)
 
     tc = TS.TrainConfig(
         learning_rate=args.lr, accum_steps=args.accum, use_ema=args.use_ema,
@@ -84,9 +128,11 @@ def main(argv=None):
         print("WARNING: training from scratch (no pretrained checkpoint)")
         params = M.init_mdm(jax.random.PRNGKey(args.seed), cfg)
 
-    mesh = PM.make_mesh()
-    n_dev = mesh.shape["data"]
-    print(f"mesh: {n_dev} devices on 'data'")
+    import math
+
+    n_dev = math.gcd(args.batch_size, jax.device_count())
+    mesh = PM.make_mesh([n_dev], devices=jax.devices()[:n_dev])
+    print(f"mesh: {n_dev} devices on 'data' (batch {args.batch_size})")
 
     trainable, frozen = TS.split_params(params)
     state = TS.init_train_state(params, tc)
@@ -120,11 +166,37 @@ def main(argv=None):
     loader = BatchLoader(ds, args.batch_size, accum_steps=args.accum,
                          tokenizer=tokenizer, seed=args.seed)
 
+    # validation loss fn (reference validation_step, ddpm3d.py:398-405)
+    val_loader = None
+    if args.val_items:
+        val_ds = WaymoDataset(args.val_items, video_length=args.video_length,
+                              resolution=resolution, seed=args.seed + 1)
+        val_loader = BatchLoader(
+            val_ds, args.batch_size, accum_steps=1, tokenizer=tokenizer,
+            shuffle=False,
+        )
+
+        @jax.jit
+        def val_loss_fn(trainable, batch, key):
+            from ..train.step import merge_params
+            loss, _ = M.training_loss(
+                merge_params(trainable, frozen), cfg, sched_arrays, batch, key,
+                null_tokens=null_tokens, remat=False,
+            )
+            return loss
+
     os.makedirs(args.out, exist_ok=True)
     log_path = os.path.join(args.out, "metrics.jsonl")
     rng = jax.random.PRNGKey(args.seed)
     step_i = 0
     t0 = time.time()
+
+    # SIGUSR1 -> checkpoint now (preemptible-cluster hook, main/trainer.py:129-137)
+    import signal
+
+    want_ckpt = {"flag": False}
+    signal.signal(signal.SIGUSR1, lambda *_: want_ckpt.update(flag=True))
+
     if args.profile_dir:
         jax.profiler.start_trace(args.profile_dir)
     try:
@@ -146,7 +218,23 @@ def main(argv=None):
                     print(json.dumps(rec))
                     with open(log_path, "a") as f:
                         f.write(json.dumps(rec) + "\n")
-                if step_i % args.ckpt_every == 0:
+                if val_loader is not None and step_i % args.val_every == 0:
+                    vlosses = []
+                    for vi, vb in enumerate(val_loader):
+                        if vi >= 8:
+                            break
+                        vb = PM.shard_batch(jax.tree.map(jnp.asarray, vb), mesh)
+                        vlosses.append(float(val_loss_fn(
+                            state.params, vb, jax.random.PRNGKey(vi))))
+                    rec = {"step": step_i, "val_loss": float(np.mean(vlosses))}
+                    print(json.dumps(rec))
+                    with open(log_path, "a") as f:
+                        f.write(json.dumps(rec) + "\n")
+                if args.sample_every and step_i % args.sample_every == 0:
+                    _log_samples(args, cfg, state, frozen, batch, tokenizer,
+                                 step_i)
+                if want_ckpt["flag"] or step_i % args.ckpt_every == 0:
+                    want_ckpt["flag"] = False
                     C.save_pytree(
                         os.path.join(args.out, f"step_{step_i}"),
                         jax.device_get(state.params),

@@ -53,3 +53,39 @@ def test_render_infer_end_to_end(scene, tmp_path):
     flat = sem.reshape(-1, 3)
     pal = {tuple(c) for c in SEMANTIC_PALETTE[:19]}
     assert all(tuple(px) in pal for px in flat[:50])
+
+
+def test_train_mdm_end_to_end(scene, tmp_path):
+    """Train app: tiny preset, 3 steps on the synthetic scene, metrics JSONL
+    and an orbax checkpoint written."""
+    from mudg_tpu.apps.make_conditions import render_scene_conditions
+    from mudg_tpu.data.waymo import write_items
+    from mudg_tpu.apps import train_mdm
+
+    render_scene_conditions(scene, ("camera_FRONT",))
+    cam = "camera_FRONT"
+    item = {
+        "frames": [f"{i:08d}.jpg" for i in range(4)],
+        "dense_color_base": os.path.join(scene, "images", cam),
+        "sparse_color_base": os.path.join(scene, "sparse", cam),
+        "dense_semantic_base": os.path.join(scene, "semantic_dense", cam),
+        "dense_depth_base": os.path.join(scene, "six_frames_depth", cam),
+        "sparse_depth_base": os.path.join(scene, "depth", cam),
+    }
+    items_path = str(tmp_path / "items.txt")
+    write_items(items_path, [item] * 8)
+    out_dir = str(tmp_path / "run")
+
+    train_mdm.main([
+        "--items", items_path, "--out", out_dir, "--preset", "tiny",
+        "--height", "32", "--width", "64", "--video_length", "4",
+        "--batch_size", "2", "--accum", "1", "--max_steps", "3",
+        "--ckpt_every", "3", "--log_every", "1",
+    ])
+
+    import json
+    lines = [json.loads(l) for l in open(os.path.join(out_dir, "metrics.jsonl"))]
+    assert len(lines) >= 3
+    assert all(np.isfinite(l["loss"]) for l in lines if "loss" in l)
+    assert os.path.isdir(os.path.join(out_dir, "step_3"))
+    assert os.path.isdir(os.path.join(out_dir, "final"))
