@@ -253,6 +253,45 @@ def load_mudg_checkpoint(path: str, *, expand_conv_in=False,
     }
 
 
+def jax_to_torch_layout(key: str, value: np.ndarray) -> np.ndarray:
+    """Inverse of torch_to_jax_layout: back to torch tensor layouts."""
+    leaf = key.rsplit(".", 1)[-1]
+    if leaf == "in_proj_weight":
+        return value.T
+    if leaf != "weight":
+        return value
+    if any(key == s + ".weight" or key.endswith("." + s + ".weight")
+           for s in _EMBEDDING_MODULES):
+        return value
+    if value.ndim == 2:
+        return value.T
+    if value.ndim == 3:
+        return value.transpose(2, 1, 0)
+    if value.ndim == 4:
+        return value.transpose(3, 2, 0, 1)
+    if value.ndim == 5:
+        return value.transpose(4, 3, 0, 1, 2)
+    return value
+
+
+def pytree_to_state_dict(tree: dict, *, prefix: str = "") -> dict:
+    """Flatten a params pytree back into a torch-layout state dict (for
+    interop with the reference ecosystem: export fine-tuned weights as .ckpt
+    consumable by the torch pipeline via torch.save({'state_dict': ...}))."""
+    out = {}
+
+    def walk(node, path):
+        if isinstance(node, Mapping):
+            for k, v in node.items():
+                walk(v, path + [k])
+        else:
+            key = ".".join(path)
+            out[prefix + key] = jax_to_torch_layout(key, np.asarray(node))
+
+    walk(tree, [])
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Native (orbax) checkpointing
 # ---------------------------------------------------------------------------

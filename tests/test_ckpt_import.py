@@ -305,3 +305,23 @@ def test_parity_resblock_with_temporal_conv(tmp_path):
     np.testing.assert_allclose(
         np.asarray(out).transpose(0, 3, 1, 2), ref, atol=5e-5
     )
+
+
+def test_state_dict_roundtrip():
+    """pytree -> torch layout -> pytree is the identity (full interop)."""
+    sd = {
+        "model.lin.weight": np.random.randn(8, 4).astype(np.float32),
+        "model.lin.bias": np.random.randn(8).astype(np.float32),
+        "model.conv.weight": np.random.randn(16, 8, 3, 3).astype(np.float32),
+        "model.c3.weight": np.random.randn(8, 8, 3, 1, 1).astype(np.float32),
+        "model.c1.weight": np.random.randn(8, 4, 1).astype(np.float32),
+        "token_embedding.weight": np.random.randn(32, 8).astype(np.float32),
+        "attn.in_proj_weight": np.random.randn(24, 8).astype(np.float32),
+        "norm.weight": np.random.randn(8).astype(np.float32),
+        "latents": np.random.randn(1, 4, 8).astype(np.float32),
+    }
+    tree = C.state_dict_to_pytree(sd, skip_buffers=False)
+    back = C.pytree_to_state_dict(tree)
+    assert set(back) == set(sd)
+    for k in sd:
+        np.testing.assert_array_equal(back[k], sd[k], err_msg=k)
