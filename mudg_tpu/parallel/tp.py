@@ -1,0 +1,62 @@
+"""Tensor-parallel sharding rules for the UNet (optional 'model' mesh axis).
+
+The reference has no tensor parallelism (SURVEY §2.6) — at 1.4B params it
+fits one chip — but 576x1024 inference and larger future models benefit from
+sharding attention/FF over a second mesh axis. TPU-idiomatically this is
+pure *annotation*: Megatron-style column/row sharding specs on the attention
+and feed-forward weights; the XLA SPMD partitioner propagates shardings and
+inserts the all-reduces after row-sharded projections over ICI.
+
+Pairing:
+  to_q/to_k/to_v/to_k_ip/to_v_ip  (in, out) -> P(None, 'model')   [column]
+  to_out.0                        (in, out) -> P('model', None)   [row]
+  ff.net.0.proj                   (in, out) -> P(None, 'model')   [column]
+  ff.net.2                        (in, out) -> P('model', None)   [row]
+  everything else replicated.
+"""
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+_COLUMN = ("to_q", "to_k", "to_v", "to_k_ip", "to_v_ip", "proj")
+_ROW_PARENTS = ("to_out", "2")  # to_out.0 and ff net '2'
+
+
+def _spec_for_path(path, leaf, axis: str, n_model: int) -> P:
+    names = [str(getattr(k, "key", k)) for k in path]
+    if not names or names[-1] != "weight" or leaf.ndim != 2:
+        return P()
+    parent = names[-2] if len(names) >= 2 else ""
+    gparent = names[-3] if len(names) >= 3 else ""
+    in_ff = "net" in names
+    in_attn = any(n.startswith("attn") for n in names)
+    if not (in_ff or in_attn):
+        return P()
+    if parent in _COLUMN or (in_ff and parent == "proj"):
+        if leaf.shape[1] % n_model == 0:
+            return P(None, axis)
+        return P()
+    if (in_attn and parent == "0" and gparent == "to_out") or (
+        in_ff and parent == "2" and gparent == "net"
+    ):
+        if leaf.shape[0] % n_model == 0:
+            return P(axis, None)
+        return P()
+    return P()
+
+
+def unet_tp_shardings(params, mesh: Mesh, axis: str = "model"):
+    """Per-leaf NamedShardings implementing the column/row TP layout."""
+    n_model = mesh.shape[axis]
+
+    def spec(path, leaf):
+        return NamedSharding(mesh, _spec_for_path(path, leaf, axis, n_model))
+
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
+def shard_unet_tp(params, mesh: Mesh, axis: str = "model"):
+    """Place UNet params according to the TP layout."""
+    shardings = unet_tp_shardings(params, mesh, axis)
+    return jax.tree.map(jax.device_put, params, shardings)
