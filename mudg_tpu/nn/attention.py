@@ -120,6 +120,10 @@ def cross_attention(
     ctx = x if self_attn else context
 
     out_ip = None
+    if image_cross and not self_attn and ctx.shape[1] <= text_len:
+        # context carries no image tokens (e.g. text-only conditioning);
+        # the decoupled image branch has nothing to attend to
+        image_cross = False
     if image_cross and not self_attn:
         ctx, ctx_img = ctx[:, :text_len], ctx[:, text_len:]
         q = _split_heads(F.linear(p["to_q"], x), heads)
