@@ -1,0 +1,160 @@
+"""3DGS scene refinement app: diffusion-supervised splat optimization.
+
+The MuDG paper's third stage (the reference defers it to external CUDA repos,
+README.md:113-114): initialize Gaussians from the aggregated LiDAR cloud,
+optimize them against MDM-generated dense RGB (+ depth) supervision for the
+real and virtual camera trajectories, then render held-out novel views.
+
+Inputs:
+  --scene          processed scene dir (objects/background.ply, scenario.pt)
+  --supervision    render_infer output dir (virtual_color/ + virtual_depth/)
+                   or any dir of {name}_re_{i}.png frames; falls back to the
+                   scene's dense images when omitted
+Outputs: renders/ novel-view PNGs + gaussians checkpoint + metrics.json.
+
+Usage:
+    python -m mudg_tpu.apps.refine_gs --scene <dir> --out out/ [--steps 2000]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pickle
+
+import numpy as np
+
+
+def load_views(scene: str, supervision: str | None, cam: str, resolution,
+               limit: int | None = None):
+    """Build training views: K, w2c, rgb target (+ optional depth)."""
+    import cv2
+
+    with open(os.path.join(scene, "scenario.pt"), "rb") as f:
+        data = pickle.load(f)
+    camera = data["observers"][cam]
+    n = camera["n_frames"]
+    if limit:
+        n = min(n, limit)
+    h, w = resolution
+
+    views = []
+    for i in range(n):
+        K = np.asarray(camera["data"]["intr"][i], np.float32).copy()
+        c2w = np.asarray(camera["data"]["c2w"][i], np.float32)
+        h0, w0 = (int(v) for v in camera["data"]["hw"][i])
+        # rescale intrinsics to the working resolution
+        K[0] *= w / w0
+        K[1] *= h / h0
+
+        img_path = None
+        if supervision:
+            for cand in (os.path.join(supervision, f"color_re_{i}.png"),
+                         os.path.join(supervision, "virtual_color", f"color_re_{i}.png")):
+                if os.path.exists(cand):
+                    img_path = cand
+                    break
+        if img_path is None:
+            img_path = os.path.join(scene, "images", cam, f"{i:08d}.jpg")
+        if not os.path.exists(img_path):
+            continue
+        img = cv2.cvtColor(cv2.imread(img_path), cv2.COLOR_BGR2RGB)
+        img = cv2.resize(img, (w, h), interpolation=cv2.INTER_LINEAR)
+
+        view = {
+            "K": K,
+            "w2c": np.linalg.inv(c2w).astype(np.float32),
+            "rgb": img.astype(np.float32) / 255.0,
+        }
+        dpath = os.path.join(supervision or "", "virtual_depth", f"depth_re_{i}.npy")
+        if supervision and os.path.exists(dpath):
+            d = np.load(dpath)
+            d = cv2.resize(d, (w, h), interpolation=cv2.INTER_NEAREST)
+            view["depth"] = d.astype(np.float32)
+            view["depth_mask"] = (d > 0).astype(np.float32)
+        views.append(view)
+    return views
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--scene", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--supervision", default=None,
+                   help="render_infer output dir with MDM-generated frames")
+    p.add_argument("--camera", default="camera_FRONT")
+    p.add_argument("--height", type=int, default=160)
+    p.add_argument("--width", type=int, default=256)
+    p.add_argument("--steps", type=int, default=2000)
+    p.add_argument("--capacity", type=int, default=200_000)
+    p.add_argument("--voxel", type=float, default=0.15)
+    p.add_argument("--limit_frames", type=int, default=None)
+    p.add_argument("--holdout_every", type=int, default=8)
+    args = p.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from ..gs import gaussians as G
+    from ..gs import train as GT
+    from ..gs.rasterize import rasterize
+    from ..render import pointcloud as PC
+    from ..utils import media, metrics, native
+
+    xyz, rgb, _ = PC.fetch_ply(os.path.join(args.scene, "objects", "background.ply"))
+    if len(xyz) > args.capacity // 2:
+        xyz, rgb = native.voxel_downsample(xyz, rgb, args.voxel)
+    n0 = min(len(xyz), args.capacity)
+    g = G.init_from_points(
+        jnp.asarray(xyz[:n0]), jnp.asarray(rgb[:n0]), capacity=args.capacity
+    )
+    print(f"init: {n0} gaussians (capacity {args.capacity})")
+
+    views = load_views(args.scene, args.supervision, args.camera,
+                       (args.height, args.width), limit=args.limit_frames)
+    assert views, "no training views found"
+    train_views = [v for i, v in enumerate(views) if i % args.holdout_every != 0]
+    hold_views = [v for i, v in enumerate(views) if i % args.holdout_every == 0]
+    if not train_views:
+        train_views = views
+    print(f"views: {len(train_views)} train / {len(hold_views)} holdout")
+
+    views_j = [
+        {k: jnp.asarray(v[k]) for k in v} for v in train_views
+    ]
+    cfg = GT.GSConfig()
+    state, history = GT.fit_scene(
+        g, views_j, cfg, width=args.width, height=args.height,
+        steps=args.steps, log_every=max(args.steps // 20, 1),
+    )
+
+    os.makedirs(args.out, exist_ok=True)
+    rdir = os.path.join(args.out, "renders")
+    os.makedirs(rdir, exist_ok=True)
+    psnrs = []
+    for i, v in enumerate(hold_views or train_views[:4]):
+        out = rasterize(
+            state.gaussians, jnp.asarray(v["K"]), jnp.asarray(v["w2c"]),
+            width=args.width, height=args.height,
+        )
+        img = np.asarray(out.color)
+        media.save_image(os.path.join(rdir, f"nv_{i:04d}.png"),
+                         (np.clip(img, 0, 1) * 255).astype(np.uint8))
+        psnrs.append(metrics.psnr(img, v["rgb"], data_range=1.0))
+
+    result = {
+        "n_gaussians_active": int(np.asarray(state.gaussians.active).sum()),
+        "holdout_psnr_mean": float(np.mean(psnrs)) if psnrs else None,
+        "history": history,
+    }
+    with open(os.path.join(args.out, "metrics.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    with open(os.path.join(args.out, "gaussians.pkl"), "wb") as f:
+        pickle.dump(
+            {k: np.asarray(getattr(state.gaussians, k))
+             for k in state.gaussians._fields}, f,
+        )
+    print(json.dumps({k: result[k] for k in ("n_gaussians_active", "holdout_psnr_mean")}))
+
+
+if __name__ == "__main__":
+    main()

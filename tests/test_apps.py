@@ -89,3 +89,25 @@ def test_train_mdm_end_to_end(scene, tmp_path):
     assert all(np.isfinite(l["loss"]) for l in lines if "loss" in l)
     assert os.path.isdir(os.path.join(out_dir, "step_3"))
     assert os.path.isdir(os.path.join(out_dir, "final"))
+
+
+def test_refine_gs_end_to_end(scene, tmp_path):
+    """3DGS refinement app on the synthetic scene: fits the point-cloud wall
+    against the scene's images and reports holdout PSNR."""
+    from mudg_tpu.apps import refine_gs
+
+    out_dir = str(tmp_path / "gs")
+    refine_gs.main([
+        "--scene", scene, "--out", out_dir,
+        "--height", "32", "--width", "48", "--steps", "30",
+        "--capacity", "4096", "--limit_frames", "4", "--holdout_every", "4",
+    ])
+    import json
+    m = json.load(open(os.path.join(out_dir, "metrics.json")))
+    assert m["n_gaussians_active"] > 100
+    assert m["holdout_psnr_mean"] is not None and np.isfinite(m["holdout_psnr_mean"])
+    assert os.path.exists(os.path.join(out_dir, "renders", "nv_0000.png"))
+    assert os.path.exists(os.path.join(out_dir, "gaussians.pkl"))
+    # training reduced the loss
+    hist = m["history"]
+    assert hist[-1]["loss"] <= hist[0]["loss"] * 1.2
