@@ -125,6 +125,7 @@ def make_train_step(
     *,
     grad_mask=None,
     impl: str = "auto",
+    remat: bool = True,
     donate: bool = True,
 ):
     """Build the jitted train step: (state, batch, rng) -> (state, metrics).
@@ -141,7 +142,7 @@ def make_train_step(
         params = merge_params(trainable, frozen_params)
         return M.training_loss(
             params, cfg, sched_arrays, batch, rng,
-            null_tokens=null_tokens, impl=impl, remat=True,
+            null_tokens=null_tokens, impl=impl, remat=remat,
         )
 
     def step_fn(state: TrainState, batch, rng):

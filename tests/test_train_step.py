@@ -39,7 +39,7 @@ def test_single_step_updates_params(setup):
     tc = TS.TrainConfig(accum_steps=1, learning_rate=1e-3)
     trainable, frozen = TS.split_params(params)
     state = TS.init_train_state(params, tc)
-    step = TS.make_train_step(cfg, tc, frozen, arrays, null, impl="xla", donate=False)
+    step = TS.make_train_step(cfg, tc, frozen, arrays, null, impl="xla", remat=False, donate=False)
     state2, metrics = step(state, _batch(1), jax.random.PRNGKey(2))
     assert np.isfinite(float(metrics["loss"]))
     assert int(state2.step) == 1
@@ -56,7 +56,7 @@ def test_grad_accumulation(setup):
     tc = TS.TrainConfig(accum_steps=2, learning_rate=1e-3)
     _, frozen = TS.split_params(params)
     state = TS.init_train_state(params, tc)
-    step = TS.make_train_step(cfg, tc, frozen, arrays, null, impl="xla", donate=False)
+    step = TS.make_train_step(cfg, tc, frozen, arrays, null, impl="xla", remat=False, donate=False)
     state2, metrics = step(state, _batch(3, b=1, accum=2), jax.random.PRNGKey(4))
     assert np.isfinite(float(metrics["loss"]))
     assert int(state2.step) == 1
@@ -67,7 +67,7 @@ def test_ema_updates(setup):
     tc = TS.TrainConfig(accum_steps=1, use_ema=True, learning_rate=1e-3)
     _, frozen = TS.split_params(params)
     state = TS.init_train_state(params, tc)
-    step = TS.make_train_step(cfg, tc, frozen, arrays, null, impl="xla", donate=False)
+    step = TS.make_train_step(cfg, tc, frozen, arrays, null, impl="xla", remat=False, donate=False)
     state2, _ = step(state, _batch(5), jax.random.PRNGKey(6))
     assert state2.ema_params is not None
     # warmup: at step 0, decay = min(0.9999, 1/10) = 0.1 -> ema moves 90% toward new
@@ -97,7 +97,7 @@ def test_temporal_frozen_mask(setup):
     state = TS.init_train_state(params, tc)
     gm = {"unet": mask, "image_proj": jax.tree.map(lambda _: True, state.params["image_proj"])}
     step = TS.make_train_step(cfg, tc, frozen, arrays, null, grad_mask=gm,
-                              impl="xla", donate=False)
+                              impl="xla", remat=False, donate=False)
     state2, _ = step(state, _batch(7), jax.random.PRNGKey(8))
     before = jax.tree_util.tree_flatten_with_path(state.params["unet"])[0]
     after = jax.tree_util.tree_flatten_with_path(state2.params["unet"])[0]
@@ -128,7 +128,7 @@ def test_data_parallel_mesh_step(setup):
     frozen = PM.replicate(frozen, mesh)
     batch = PM.shard_batch(_batch(9, b=8), mesh)
 
-    step = TS.make_train_step(cfg, tc, frozen, arrays, null, impl="xla", donate=False)
+    step = TS.make_train_step(cfg, tc, frozen, arrays, null, impl="xla", remat=False, donate=False)
     state2, metrics = step(state, batch, jax.random.PRNGKey(10))
     assert np.isfinite(float(metrics["loss"]))
     assert int(state2.step) == 1
