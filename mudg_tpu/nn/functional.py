@@ -86,11 +86,26 @@ def conv3d(p, x, stride=1, padding="SAME"):
     return y
 
 
+def _use_fused_norms() -> bool:
+    # Pallas fused norms are a TPU win (~30% of UNet time is fp32-island norm
+    # traffic, docs/STATE.md); on CPU the interpreter would be slower than XLA
+    import jax as _jax
+
+    return _jax.default_backend() == "tpu"
+
+
 def group_norm(p, x, num_groups: int = 32, eps: float = 1e-5):
     """GroupNorm over channels-last input; fp32 island (lvdm/basics.py:76-78).
 
     Normalizes over all non-batch dims within each channel group, like torch.
+    On TPU, shapes that fit VMEM use the fused Pallas kernel (identical math,
+    one bf16 read + one bf16 write).
     """
+    if _use_fused_norms():
+        from ..kernels import norms
+
+        if norms.group_norm_fits(x):
+            return norms.fused_group_norm(x, p["weight"], p["bias"], num_groups, eps)
     orig_dtype = x.dtype
     xf = x.astype(jnp.float32)
     c = xf.shape[-1]
@@ -108,7 +123,13 @@ def group_norm(p, x, num_groups: int = 32, eps: float = 1e-5):
 
 
 def layer_norm(p, x, eps: float = 1e-5):
-    """LayerNorm over the last axis; fp32 accumulation."""
+    """LayerNorm over the last axis; fp32 accumulation. Fused Pallas kernel
+    on TPU for 3-D inputs."""
+    if _use_fused_norms():
+        from ..kernels import norms
+
+        if norms.layer_norm_fits(x):
+            return norms.fused_layer_norm(x, p["weight"], p["bias"], eps)
     orig_dtype = x.dtype
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
