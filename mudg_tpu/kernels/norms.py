@@ -36,6 +36,9 @@ def _interpret() -> bool:
 # ---------------------------------------------------------------------------
 
 def _gn_kernel(x_ref, w_ref, b_ref, o_ref, *, groups, eps):
+    # Mosaic cannot reshape the lane (channel) dim, so group statistics are
+    # computed with a (C, G) one-hot indicator matmul instead of reshaping
+    # channels into (G, C/G).
     x = x_ref[...]
     shape = x.shape            # (1, *spatial, C)
     c = shape[-1]
@@ -43,14 +46,29 @@ def _gn_kernel(x_ref, w_ref, b_ref, o_ref, *, groups, eps):
     n_spatial = 1
     for s in shape[1:-1]:
         n_spatial *= s
-    xf = x.reshape(n_spatial, groups, cg).astype(jnp.float32)
-    mean = jnp.mean(xf, axis=(0, 2), keepdims=True)
-    var = jnp.mean((xf - mean) ** 2, axis=(0, 2), keepdims=True)
-    xn = (xf - mean) * jax.lax.rsqrt(var + eps)
-    xn = xn.reshape(n_spatial, c)
+    xf = x.reshape(n_spatial, c).astype(jnp.float32)
+
+    ch_ids = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 0)
+    g_ids = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 1)
+    onehot = (ch_ids // cg == g_ids).astype(jnp.float32)  # (C, G)
+
+    s1 = jnp.sum(xf, axis=0, keepdims=True)          # (1, C)
+    s2 = jnp.sum(xf * xf, axis=0, keepdims=True)     # (1, C)
+    denom = float(n_spatial * cg)
+    gsum = jnp.dot(s1, onehot, preferred_element_type=jnp.float32)   # (1, G)
+    gsq = jnp.dot(s2, onehot, preferred_element_type=jnp.float32)    # (1, G)
+    mean_g = gsum / denom
+    var_g = gsq / denom - mean_g * mean_g
+    inv_g = jax.lax.rsqrt(var_g + eps)
+
+    # broadcast group stats back to channels: (1, G) @ (G, C)
+    mean_c = jnp.dot(mean_g, onehot.T, preferred_element_type=jnp.float32)
+    inv_c = jnp.dot(inv_g, onehot.T, preferred_element_type=jnp.float32)
+
     w = w_ref[...].astype(jnp.float32).reshape(1, c)
     b = b_ref[...].astype(jnp.float32).reshape(1, c)
-    o_ref[...] = (xn * w + b).reshape(shape).astype(o_ref.dtype)
+    out = (xf - mean_c) * inv_c * w + b
+    o_ref[...] = out.reshape(shape).astype(o_ref.dtype)
 
 
 def _gn_forward(x, w, b, groups: int, eps: float):

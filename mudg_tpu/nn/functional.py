@@ -87,11 +87,18 @@ def conv3d(p, x, stride=1, padding="SAME"):
 
 
 def _use_fused_norms() -> bool:
-    # Pallas fused norms are a TPU win (~30% of UNet time is fp32-island norm
-    # traffic, docs/STATE.md); on CPU the interpreter would be slower than XLA
+    # Measured (docs/STATE.md): XLA already fuses the fp32-island norms well —
+    # the Pallas kernels came out ~3% slower end-to-end on v5e. Kept as
+    # opt-in infrastructure (MUDG_FUSED_NORMS=1) for future tuning; CPU uses
+    # the interpreter and is always slower.
+    import os as _os
+
     import jax as _jax
 
-    return _jax.default_backend() == "tpu"
+    return (
+        _os.environ.get("MUDG_FUSED_NORMS") == "1"
+        and _jax.default_backend() == "tpu"
+    )
 
 
 def group_norm(p, x, num_groups: int = 32, eps: float = 1e-5):
