@@ -165,3 +165,57 @@ def stochastic_encode(x0, index, consts: DDIMConstants, noise):
     sa = jnp.sqrt(consts.alphas[index]).reshape(-1, *nd)
     soma = consts.sqrt_one_minus[index].reshape(-1, *nd)
     return sa * x0 + soma * noise
+
+
+def ddpm_sample(
+    model_fn: Callable,
+    rng: jax.Array,
+    shape,
+    sched: S.DiffusionSchedule,
+    *,
+    parameterization: str = "v",
+    clip_denoised: bool = False,
+    dtype=jnp.float32,
+):
+    """Full ancestral DDPM sampling (DDPM.p_sample_loop, ddpm3d.py:274-296)
+    as one lax.scan over all T timesteps. model_fn(x, t) returns the model
+    output in the given parameterization.
+
+    Provided for capability parity with the reference base class; production
+    inference uses the DDIM path.
+    """
+    b = shape[0]
+    sa = jnp.asarray(sched.sqrt_alphas_cumprod)
+    soma = jnp.asarray(sched.sqrt_one_minus_alphas_cumprod)
+    sra = jnp.asarray(np.sqrt(1.0 / np.maximum(sched.alphas_cumprod, 1e-20)))
+    sram1 = jnp.asarray(np.sqrt(np.maximum(1.0 / np.maximum(sched.alphas_cumprod, 1e-20) - 1.0, 0.0)))
+    pm1 = jnp.asarray(sched.posterior_mean_coef1)
+    pm2 = jnp.asarray(sched.posterior_mean_coef2)
+    plv = jnp.asarray(sched.posterior_log_variance_clipped)
+
+    rng, k0 = jax.random.split(rng)
+    x = jax.random.normal(k0, shape, dtype)
+
+    def body(carry, tstep):
+        x, rng = carry
+        rng, kn = jax.random.split(rng)
+        t_b = jnp.full((b,), tstep, jnp.int32)
+        out = model_fn(x, t_b)
+        nd = (1,) * (x.ndim - 1)
+        if parameterization == "v":
+            x0 = sa[tstep].reshape(*nd) * x - soma[tstep].reshape(*nd) * out
+        elif parameterization == "eps":
+            x0 = sra[tstep].reshape(*nd) * x - sram1[tstep].reshape(*nd) * out
+        else:  # x0
+            x0 = out
+        if clip_denoised:
+            x0 = jnp.clip(x0, -1.0, 1.0)
+        mean = pm1[tstep].reshape(*nd) * x0 + pm2[tstep].reshape(*nd) * x
+        noise = jax.random.normal(kn, x.shape, x.dtype)
+        nonzero = (tstep > 0).astype(x.dtype)
+        x_prev = mean + nonzero * jnp.exp(0.5 * plv[tstep]).reshape(*nd) * noise
+        return (x_prev, rng), None
+
+    steps = jnp.arange(sched.num_timesteps - 1, -1, -1)
+    (x, _), _ = jax.lax.scan(body, (x, rng), steps)
+    return x

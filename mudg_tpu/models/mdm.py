@@ -59,6 +59,10 @@ class MDMConfig:
     turning_step: int = 400
     default_fs: int = 10
     vae_chunk: int = 1               # frames per VAE scan step (perframe_ae)
+    noise_strength: float = 0.0      # offset noise (ddpm3d.py:742-745)
+    interp_mode: bool = False        # frame-interp conditioning (ddpm3d.py:1114-1118)
+    l_simple_weight: float = 1.0
+    original_elbo_weight: float = 0.0
 
     def schedule(self) -> S.DiffusionSchedule:
         return S.DiffusionSchedule.create(
@@ -85,6 +89,7 @@ def schedule_arrays(sched: S.DiffusionSchedule) -> dict:
     out = {
         "sqrt_alphas_cumprod": jnp.asarray(sched.sqrt_alphas_cumprod),
         "sqrt_one_minus_alphas_cumprod": jnp.asarray(sched.sqrt_one_minus_alphas_cumprod),
+        "lvlb_weights": jnp.asarray(sched.lvlb_weights),
     }
     if sched.scale_arr is not None:
         out["scale_arr"] = jnp.asarray(sched.scale_arr)
@@ -166,12 +171,20 @@ def training_loss(
     Returns (loss, metrics dict).
     """
     b = batch["dense_frames"].shape[0]
-    keys = jax.random.split(rng, 6)
+    keys = jax.random.split(rng, 7)
 
     z = V.encode_video(params["vae"], cfg.vae, batch["dense_frames"],
                        rng=keys[0], chunk=cfg.vae_chunk)
-    c_concat = encode_conditions(params, cfg, batch["sparse_frames"],
-                                 batch["sparse_depth"], rng=keys[1])
+    if cfg.interp_mode:
+        # start + end frame conditioning: zeros except frames 0 and -1 of the
+        # target latents, duplicated into both concat channels' worth
+        # (ddpm3d.py:1114-1118 uses z; depth channel zeroed)
+        zc = jnp.zeros_like(z)
+        zc = zc.at[:, 0].set(z[:, 0]).at[:, -1].set(z[:, -1])
+        c_concat = jnp.concatenate([zc, jnp.zeros_like(zc)], axis=-1)
+    else:
+        c_concat = encode_conditions(params, cfg, batch["sparse_frames"],
+                                     batch["sparse_depth"], rng=keys[1])
     # frozen stages do not propagate gradients (ddpm3d.py:580-596)
     z = jax.lax.stop_gradient(z)
     c_concat = jax.lax.stop_gradient(c_concat)
@@ -199,6 +212,11 @@ def training_loss(
     if scale_arr is not None:
         z = z * D.extract(scale_arr, t, z.ndim)
     noise = jax.random.normal(keys[4], z.shape, z.dtype)
+    if cfg.noise_strength > 0:
+        # offset noise: shared per (batch, channel, frame) low-frequency
+        # component (ddpm3d.py:742-745)
+        offs = jax.random.normal(keys[6], (b, z.shape[1], 1, 1, z.shape[-1]), z.dtype)
+        noise = noise + cfg.noise_strength * offs
     sa = sched_arrays["sqrt_alphas_cumprod"]
     soma = sched_arrays["sqrt_one_minus_alphas_cumprod"]
     z_noisy = D.q_sample(z, t, noise, sa, soma)
@@ -209,8 +227,14 @@ def training_loss(
         fs=batch.get("fps"), impl=impl, remat=remat, drop_rng=keys[5],
     )
     loss_simple = jnp.mean((v_pred - target) ** 2, axis=(1, 2, 3, 4))
-    loss = jnp.mean(loss_simple)
-    return loss, {"loss_simple": loss, "t_mean": jnp.mean(t.astype(jnp.float32))}
+    loss = cfg.l_simple_weight * jnp.mean(loss_simple)
+    if cfg.original_elbo_weight > 0:
+        lvlb_w = sched_arrays.get("lvlb_weights")
+        if lvlb_w is not None:
+            loss_vlb = jnp.mean(lvlb_w[t] * loss_simple)
+            loss = loss + cfg.original_elbo_weight * loss_vlb
+    return loss, {"loss_simple": jnp.mean(loss_simple),
+                  "t_mean": jnp.mean(t.astype(jnp.float32))}
 
 
 # ---------------------------------------------------------------------------

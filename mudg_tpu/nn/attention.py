@@ -186,6 +186,30 @@ def cross_attention(
     return F.linear(p["to_out"]["0"], out)
 
 
+def joint_cross_attention(p, x, *, heads, num_tasks, impl="auto"):
+    """JointCrossAttention (attention.py:212-345): cross-task self-attention
+    where keys/values are shared across the task-chunks of the batch.
+
+    x: (B, L, C) with B = num_tasks * per_task_batch (task-major chunks, like
+    torch.chunk). split_tasks (attention.py:336-345): each sample attends to
+    the concatenated KV of all tasks at its within-chunk index.
+    """
+    b, l, c = x.shape
+    assert b % num_tasks == 0, f"batch {b} not divisible by num_tasks {num_tasks}"
+    per = b // num_tasks
+
+    q = _split_heads(F.linear(p["to_q"], x), heads)
+    k = F.linear(p["to_k"], x)
+    v = F.linear(p["to_v"], x)
+    # (M*per, L, C) -> (per, M*L, C): concat each task's sequence
+    k = k.reshape(num_tasks, per, l, c).transpose(1, 0, 2, 3).reshape(per, num_tasks * l, c)
+    v = v.reshape(num_tasks, per, l, c).transpose(1, 0, 2, 3).reshape(per, num_tasks * l, c)
+    k = jnp.tile(k, (num_tasks, 1, 1))
+    v = jnp.tile(v, (num_tasks, 1, 1))
+    out = attend(q, _split_heads(k, heads), _split_heads(v, heads), impl=impl)
+    return F.linear(p["to_out"]["0"], _merge_heads(out))
+
+
 def feed_forward(p, x):
     """GEGLU feed-forward (attention.py:579-606): net.0=GEGLU, net.2=Linear."""
     h = F.linear(p["net"]["0"]["proj"], x)
@@ -196,13 +220,19 @@ def feed_forward(p, x):
 
 def basic_transformer_block(
     p, x, context=None, *, heads, image_cross=False, ip_scale=1.0, text_len=77,
-    causal=False, temporal_length=None, impl="auto",
+    causal=False, temporal_length=None, num_tasks=1, impl="auto",
 ):
-    """self-attn -> cross-attn -> FF with pre-LN residuals (attention.py:392-400)."""
+    """self-attn -> (joint task attn) -> cross-attn -> FF with pre-LN
+    residuals (attention.py:392-400)."""
     x = cross_attention(
         p["attn1"], F.layer_norm(p["norm1"], x), None,
         heads=heads, causal=causal, temporal_length=temporal_length, impl=impl,
     ) + x
+    if "attn_joint" in p:
+        x = joint_cross_attention(
+            p["attn_joint"], F.layer_norm(p["norm_joint"], x),
+            heads=heads, num_tasks=num_tasks, impl=impl,
+        ) + x
     x = cross_attention(
         p["attn2"], F.layer_norm(p["norm2"], x), context,
         heads=heads, image_cross=image_cross, ip_scale=ip_scale,
@@ -226,7 +256,7 @@ def _proj(p, x):
 
 def spatial_transformer(
     p, x, context=None, *, heads, depth=1, image_cross=False, ip_scale=1.0,
-    text_len=77, impl="auto", remat=False,
+    text_len=77, num_tasks=1, impl="auto", remat=False,
 ):
     """SpatialTransformer (attention.py:403-467). x: (N, H, W, C)."""
     n, h, w, c = x.shape
@@ -236,7 +266,7 @@ def spatial_transformer(
     x = _proj(p["proj_in"], x)
     block = partial(
         basic_transformer_block, heads=heads, image_cross=image_cross,
-        ip_scale=ip_scale, text_len=text_len, impl=impl,
+        ip_scale=ip_scale, text_len=text_len, num_tasks=num_tasks, impl=impl,
     )
     if remat:
         block = jax.checkpoint(block, static_argnums=())
@@ -325,9 +355,10 @@ def init_feed_forward(rng, dim, mult=4):
 def init_transformer_block(
     rng, dim, *, heads, dim_head, context_dim=None, image_cross=False,
     relative_position=False, temporal_length=None, alpha_learnable=False,
+    domain_cross=False,
 ):
     ks = jax.random.split(rng, 3)
-    return {
+    p = {
         "attn1": init_cross_attention(
             ks[0], dim, heads=heads, dim_head=dim_head,
             relative_position=relative_position, temporal_length=temporal_length,
@@ -342,6 +373,19 @@ def init_transformer_block(
         "norm2": F.init_norm(dim),
         "norm3": F.init_norm(dim),
     }
+    if domain_cross:
+        # zero-init q/k/v/out and norm scale -> identity at init
+        # (attention.py:245-256,375-378)
+        inner = heads * dim_head
+        p["attn_joint"] = {
+            "to_q": {"weight": jnp.zeros((dim, inner))},
+            "to_k": {"weight": jnp.zeros((dim, inner))},
+            "to_v": {"weight": jnp.zeros((dim, inner))},
+            "to_out": {"0": {"weight": jnp.zeros((inner, dim)),
+                             "bias": jnp.zeros((dim,))}},
+        }
+        p["norm_joint"] = {"weight": jnp.zeros((dim,)), "bias": jnp.zeros((dim,))}
+    return p
 
 
 def _init_proj(rng, d_in, d_out, use_linear, zero=False):
@@ -354,6 +398,7 @@ def _init_proj(rng, d_in, d_out, use_linear, zero=False):
 def init_spatial_transformer(
     rng, in_channels, *, heads, dim_head, depth=1, context_dim=None,
     use_linear=True, image_cross=False, alpha_learnable=False,
+    domain_cross=False,
 ):
     inner = heads * dim_head
     ks = jax.random.split(rng, depth + 2)
@@ -364,7 +409,7 @@ def init_spatial_transformer(
             str(d): init_transformer_block(
                 ks[2 + d], inner, heads=heads, dim_head=dim_head,
                 context_dim=context_dim, image_cross=image_cross,
-                alpha_learnable=alpha_learnable,
+                alpha_learnable=alpha_learnable, domain_cross=domain_cross,
             )
             for d in range(depth)
         },

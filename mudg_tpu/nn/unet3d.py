@@ -54,6 +54,8 @@ class UNetConfig:
     default_fs: int = 10
     fs_condition: bool = True
     class_label_condition: bool = True
+    domain_cross_attention: bool = False  # JointCrossAttention in input blocks
+    num_tasks: int = 1
     text_context_len: int = 77
     image_tokens_per_frame: int = 16  # Resampler num_queries
 
@@ -84,7 +86,10 @@ def block_plan(cfg: UNetConfig):
                                   temporal=cfg.temporal_conv))]
             ch = mult * mc
             if ds in cfg.attention_resolutions:
-                block.append(("spatial", dict(ch=ch, heads=heads(ch))))
+                # only input-block spatial transformers carry the joint task
+                # attention (openaimodel3d.py:441 vs :487,:534)
+                block.append(("spatial", dict(ch=ch, heads=heads(ch),
+                                              domain=cfg.domain_cross_attention)))
                 if cfg.temporal_attention:
                     block.append(("temporal", dict(ch=ch, heads=heads(ch))))
             inp.append(block)
@@ -202,7 +207,7 @@ def _apply_block(
             h = A.spatial_transformer(
                 p, h, context, heads=args["heads"], depth=cfg.transformer_depth,
                 image_cross=cfg.image_cross_attention, text_len=cfg.text_context_len,
-                impl=impl,
+                num_tasks=cfg.num_tasks, impl=impl,
             )
         elif ltype == "temporal":
             bt, hh, ww, c = h.shape
@@ -348,6 +353,7 @@ def _init_layer(rng, ltype, args, cfg: UNetConfig):
             depth=cfg.transformer_depth, context_dim=cfg.context_dim,
             use_linear=cfg.use_linear, image_cross=cfg.image_cross_attention,
             alpha_learnable=cfg.image_cross_attention_scale_learnable,
+            domain_cross=args.get("domain", False),
         )
     if ltype == "temporal":
         return A.init_temporal_transformer(

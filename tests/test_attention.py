@@ -124,3 +124,43 @@ def test_temporal_transformer_shapes():
     out = A.temporal_transformer(p, x, heads=heads, temporal_length=8, impl="xla")
     assert out.shape == x.shape
     np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-5)
+
+
+def test_joint_cross_attention_shares_kv_across_tasks():
+    """JointCrossAttention: each sample attends over the concatenation of all
+    tasks' keys/values at its within-chunk index (attention.py:336-345)."""
+    rng = jax.random.PRNGKey(20)
+    dim, heads, dh = 16, 2, 8
+    p = {
+        "to_q": {"weight": jax.random.normal(rng, (dim, dim)) * 0.2},
+        "to_k": {"weight": jax.random.normal(jax.random.PRNGKey(21), (dim, dim)) * 0.2},
+        "to_v": {"weight": jax.random.normal(jax.random.PRNGKey(22), (dim, dim)) * 0.2},
+        "to_out": {"0": {"weight": jnp.eye(dim), "bias": jnp.zeros(dim)}},
+    }
+    # batch = 2 tasks x 1 sample, L=4
+    x = jax.random.normal(jax.random.PRNGKey(23), (2, 4, dim))
+    out = A.joint_cross_attention(p, x, heads=heads, num_tasks=2, impl="xla")
+    assert out.shape == (2, 4, dim)
+
+    # manual reference: KV = concat of both tasks' sequences
+    q = (x @ p["to_q"]["weight"]).reshape(2, 4, heads, dh)
+    kv_seq = jnp.concatenate([x[0], x[1]], axis=0)[None]  # (1, 8, dim)
+    k = (kv_seq @ p["to_k"]["weight"]).reshape(1, 8, heads, dh)
+    v = (kv_seq @ p["to_v"]["weight"]).reshape(1, 8, heads, dh)
+    ref0 = A.attend(q[0:1], k, v, impl="xla").reshape(1, 4, dim)
+    np.testing.assert_allclose(np.asarray(out[0:1]), np.asarray(ref0), atol=1e-5)
+
+
+def test_domain_cross_attention_identity_at_init():
+    """Zero-init joint attention + zero norm scale => block is unchanged."""
+    p = A.init_transformer_block(
+        jax.random.PRNGKey(24), 32, heads=2, dim_head=16, context_dim=24,
+        domain_cross=True,
+    )
+    assert "attn_joint" in p and "norm_joint" in p
+    x = jax.random.normal(jax.random.PRNGKey(25), (4, 6, 32))
+    ctx = jax.random.normal(jax.random.PRNGKey(26), (4, 77, 24))
+    out_with = A.basic_transformer_block(p, x, ctx, heads=2, num_tasks=2, impl="xla")
+    p2 = {k: v for k, v in p.items() if k not in ("attn_joint", "norm_joint")}
+    out_without = A.basic_transformer_block(p2, x, ctx, heads=2, impl="xla")
+    np.testing.assert_allclose(np.asarray(out_with), np.asarray(out_without), atol=1e-5)

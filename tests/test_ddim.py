@@ -123,3 +123,20 @@ def test_resampler_shapes():
     out = R.resampler_apply(p, cfg, x)
     assert out.shape == (3, 16, 32)  # 4 queries * 4 frames
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_ddpm_ancestral_sampler_converges():
+    """Oracle v-model point-mass: full ancestral chain lands near x0."""
+    sched = _sched()
+    x0_true = jnp.full((1, 4, 4, 1), 0.25)
+    sa = jnp.asarray(sched.sqrt_alphas_cumprod)
+    soma = jnp.asarray(sched.sqrt_one_minus_alphas_cumprod)
+
+    def model_fn(x, t):
+        s = sa[t].reshape(-1, 1, 1, 1)
+        o = soma[t].reshape(-1, 1, 1, 1)
+        eps = (x - s * x0_true) / jnp.maximum(o, 1e-8)
+        return s * eps - o * x0_true
+
+    out = D.ddpm_sample(model_fn, jax.random.PRNGKey(0), x0_true.shape, sched)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x0_true), atol=0.2)
