@@ -76,6 +76,8 @@ def main(argv=None):
     p.add_argument("--sample_every", type=int, default=0,
                    help="log sampled videos every N steps (ImageLogger analog)")
     p.add_argument("--preset", default=None, choices=(None, "mdm512", "mdm1024", "tiny"))
+    p.add_argument("--auto_resume", action="store_true",
+                   help="resume from the latest step_N checkpoint in --out")
     args = p.parse_args(argv)
 
     import jax
@@ -189,6 +191,25 @@ def main(argv=None):
     log_path = os.path.join(args.out, "metrics.jsonl")
     rng = jax.random.PRNGKey(args.seed)
     step_i = 0
+
+    # --auto_resume: restore trainable params + step from the newest step_N
+    # checkpoint in the workspace (trainer.py:27-28 analog, actually wired)
+    if args.auto_resume:
+        ckpts = sorted(
+            (int(d.split("_")[1]), d) for d in os.listdir(args.out)
+            if d.startswith("step_") and d.split("_")[1].isdigit()
+        )
+        if ckpts:
+            step_i, latest = ckpts[-1]
+            restored = C.load_pytree(os.path.join(args.out, latest))
+            state = state._replace(
+                params=PM.replicate(restored, mesh),
+                step=jax.device_put(
+                    jnp.asarray(step_i, jnp.int32), NamedSharding(mesh, P())
+                ),
+            )
+            print(f"auto-resume: restored {latest} at step {step_i}")
+
     t0 = time.time()
 
     # SIGUSR1 -> checkpoint now (preemptible-cluster hook, main/trainer.py:129-137)

@@ -111,3 +111,39 @@ def test_refine_gs_end_to_end(scene, tmp_path):
     # training reduced the loss
     hist = m["history"]
     assert hist[-1]["loss"] <= hist[0]["loss"] * 1.2
+
+
+def test_train_mdm_auto_resume(scene, tmp_path):
+    """--auto_resume restores the latest step checkpoint and continues the
+    step counter."""
+    from mudg_tpu.apps.make_conditions import render_scene_conditions
+    from mudg_tpu.data.waymo import write_items
+    from mudg_tpu.apps import train_mdm
+
+    render_scene_conditions(scene, ("camera_FRONT",))
+    cam = "camera_FRONT"
+    item = {
+        "frames": [f"{i:08d}.jpg" for i in range(4)],
+        "dense_color_base": os.path.join(scene, "images", cam),
+        "sparse_color_base": os.path.join(scene, "sparse", cam),
+        "dense_semantic_base": os.path.join(scene, "semantic_dense", cam),
+        "dense_depth_base": os.path.join(scene, "six_frames_depth", cam),
+        "sparse_depth_base": os.path.join(scene, "depth", cam),
+    }
+    items_path = str(tmp_path / "items.txt")
+    write_items(items_path, [item] * 8)
+    out_dir = str(tmp_path / "run")
+    common = [
+        "--items", items_path, "--out", out_dir, "--preset", "tiny",
+        "--height", "32", "--width", "64", "--video_length", "4",
+        "--batch_size", "2", "--accum", "1",
+        "--ckpt_every", "2", "--log_every", "1",
+    ]
+    train_mdm.main(common + ["--max_steps", "2"])
+    assert os.path.isdir(os.path.join(out_dir, "step_2"))
+    train_mdm.main(common + ["--max_steps", "4", "--auto_resume"])
+    import json
+    lines = [json.loads(l) for l in open(os.path.join(out_dir, "metrics.jsonl"))]
+    steps = [l["step"] for l in lines if "loss" in l]
+    assert max(steps) == 4 and 3 in steps  # resumed at 2, ran 3..4
+    assert os.path.isdir(os.path.join(out_dir, "step_4"))
