@@ -1,0 +1,48 @@
+"""Umbrella CLI: python -m mudg_tpu <command> [args...]
+
+Commands map to the apps package:
+  train        MDM stage-1/2 fine-tuning           (apps.train_mdm)
+  render       multi-modal autoregressive inference (apps.render_infer)
+  conditions   offline sparse RGB/depth generation  (apps.make_conditions)
+  refine-gs    3DGS scene refinement                (apps.refine_gs)
+  bench        the repo benchmark                   (bench.py main)
+"""
+from __future__ import annotations
+
+import sys
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help"):
+        print(__doc__)
+        return 0
+    cmd, rest = argv[0], argv[1:]
+    if cmd == "train":
+        from .apps.train_mdm import main as run
+    elif cmd == "render":
+        from .apps.render_infer import main as run
+    elif cmd == "conditions":
+        from .apps.make_conditions import main as run
+    elif cmd == "refine-gs":
+        from .apps.refine_gs import main as run
+    elif cmd == "bench":
+        import importlib.util
+        import os
+
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        spec = importlib.util.spec_from_file_location(
+            "bench", os.path.join(root, "bench.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        mod.main()
+        return 0
+    else:
+        print(f"unknown command {cmd!r}\n{__doc__}")
+        return 2
+    run(rest)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
