@@ -5,6 +5,7 @@ Commands map to the apps package:
   render       multi-modal autoregressive inference (apps.render_infer)
   conditions   offline sparse RGB/depth generation  (apps.make_conditions)
   refine-gs    3DGS scene refinement                (apps.refine_gs)
+  eval         PSNR/SSIM novel-view evaluation      (apps.eval_nvs)
   bench        the repo benchmark                   (bench.py main)
 """
 from __future__ import annotations
@@ -26,6 +27,8 @@ def main(argv=None):
         from .apps.make_conditions import main as run
     elif cmd == "refine-gs":
         from .apps.refine_gs import main as run
+    elif cmd == "eval":
+        from .apps.eval_nvs import main as run
     elif cmd == "bench":
         import importlib.util
         import os

@@ -87,3 +87,24 @@ def test_psnr_and_ssim():
     assert MET.ssim(np.random.rand(16, 16, 3), np.random.rand(16, 16, 3)) < 1.0
     m, per = MET.video_psnr(np.zeros((2, 4, 4, 3)), np.full((2, 4, 4, 3), 0.1))
     assert len(per) == 2
+
+
+def test_eval_nvs_app(tmp_path):
+    import cv2
+    from mudg_tpu.apps import eval_nvs
+
+    d = tmp_path / "virtual_color"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        gt = (rng.random((16, 16, 3)) * 255).astype(np.uint8)
+        noisy = np.clip(gt.astype(int) + rng.integers(-8, 8, gt.shape), 0, 255).astype(np.uint8)
+        cv2.imwrite(str(d / f"color_gt_{i}.png"), gt)
+        cv2.imwrite(str(d / f"color_re_{i}.png"), noisy)
+    out = str(tmp_path / "frames.jsonl")
+    summary = eval_nvs.main(["--dir", str(d), "--out", out])
+    assert summary["n_frames"] == 3
+    assert 20 < summary["psnr_mean"] < 50
+    import json
+    rows = [json.loads(l) for l in open(out)]
+    assert len(rows) == 3 and all("ssim" in r for r in rows)
