@@ -6,6 +6,7 @@ Commands map to the apps package:
   conditions   offline sparse RGB/depth generation  (apps.make_conditions)
   refine-gs    3DGS scene refinement                (apps.refine_gs)
   eval         PSNR/SSIM novel-view evaluation      (apps.eval_nvs)
+  preprocess   Waymo tfrecord -> scene dirs ETL     (apps.preprocess)
   bench        the repo benchmark                   (bench.py main)
 """
 from __future__ import annotations
@@ -29,6 +30,8 @@ def main(argv=None):
         from .apps.refine_gs import main as run
     elif cmd == "eval":
         from .apps.eval_nvs import main as run
+    elif cmd == "preprocess":
+        from .apps.preprocess import main as run
     elif cmd == "bench":
         import importlib.util
         import os

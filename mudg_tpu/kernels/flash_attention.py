@@ -41,15 +41,19 @@ def _pick_block(n: int, candidates=(512, 256, 128, 64)) -> int:
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k, seq_k):
-    q = q_ref[0].astype(jnp.float32) * scale  # (BQ, D)
+    # Keep q/k in their storage dtype (bf16) for the MXU: f32 operands would
+    # force the slow multi-pass f32 matmul path; preferred_element_type=f32
+    # already gives f32 accumulation (FlashAttention numerics). The scale is
+    # applied to the f32 logits so it stays exact for any head dim.
+    q = q_ref[0]  # (BQ, D)
     bq, d = q.shape
     nk = seq_k // block_k
 
     def body(i, carry):
         m, l, acc = carry
-        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(i * block_k, block_k), :]
         v = v_ref[0, pl.ds(i * block_k, block_k), :]
-        s = jax.lax.dot_general(
+        s = scale * jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (BQ, BK)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
@@ -109,15 +113,17 @@ def _flash_fwd(q, k, v):
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
                    *, scale, block_k, seq_k):
-    q = q_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
+    # bf16 operands for every MXU dot (f32 accumulation via
+    # preferred_element_type); only softmax algebra stays f32.
+    q = q_ref[0]
+    do = do_ref[0]
     lse = lse_ref[0]      # (BQ, 1)
     delta = delta_ref[0]  # (BQ, 1)
     bq, d = q.shape
 
     def body(i, dq):
-        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(i * block_k, block_k), :]
+        v = v_ref[0, pl.ds(i * block_k, block_k), :]
         s = scale * jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -125,7 +131,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        ds = p * (dp - delta)
+        ds = (p * (dp - delta)).astype(q.dtype)
         return dq + scale * jax.lax.dot(ds, k, preferred_element_type=jnp.float32)
 
     dq = jax.lax.fori_loop(0, seq_k // block_k, body, jnp.zeros((bq, d), jnp.float32))
@@ -134,27 +140,28 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                     dk_ref, dv_ref, *, scale, block_q, seq_q):
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    k = k_ref[0]
+    v = v_ref[0]
     bk, d = k.shape
 
     def body(i, carry):
         dk, dv = carry
-        q = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
-        do = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        q = q_ref[0, pl.ds(i * block_q, block_q), :]
+        do = do_ref[0, pl.ds(i * block_q, block_q), :]
         lse = lse_ref[0, pl.ds(i * block_q, block_q), :]      # (BQ, 1)
         delta = delta_ref[0, pl.ds(i * block_q, block_q), :]  # (BQ, 1)
         s = scale * jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (BQ, BK)
         p = jnp.exp(s - lse)
+        pb = p.astype(do.dtype)
         dv = dv + jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            pb, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        ds = p * (dp - delta)
+        ds = (p * (dp - delta)).astype(q.dtype)
         dk = dk + scale * jax.lax.dot_general(
             ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
