@@ -49,35 +49,73 @@ def read_pfm(path: str):
 
 
 def load_segformer_predictor(model_path: str | None = None):
-    """SegFormer predictor via transformers, if weights are locally available.
+    """SegFormer-B3 predictor running the JAX implementation
+    (`models/segformer.py`, HF-oracle-tested) with weights imported from a
+    local HuggingFace checkpoint (directory with model.safetensors /
+    pytorch_model.bin, or a bare state-dict file).
 
-    Returns image(H,W,3 uint8) -> class_ids(H,W int64), or None if the model
-    cannot be constructed (no network in this environment).
+    Returns image(H,W,3 uint8) -> class_ids(H,W int), or None if no weights
+    are locally available (no network in this environment).
     """
-    try:
-        from transformers import (
-            SegformerForSemanticSegmentation, SegformerImageProcessor,
-        )
-        import torch
-
-        name = model_path or "nvidia/segformer-b3-finetuned-cityscapes-1024-1024"
-        processor = SegformerImageProcessor.from_pretrained(name, local_files_only=True)
-        model = SegformerForSemanticSegmentation.from_pretrained(
-            name, local_files_only=True
-        ).eval()
-    except Exception:
+    sd = _load_local_segformer_weights(model_path)
+    if sd is None:
         return None
 
+    import jax
+
+    from ..models import segformer as S
+
+    cfg = S.SegFormerConfig()
+    params = S.import_hf_state_dict(sd)
+    seg = jax.jit(lambda p, img: S.segment(p, cfg, img))
+
     def predict(image: np.ndarray) -> np.ndarray:
-        with torch.no_grad():
-            inputs = processor(images=image, return_tensors="pt")
-            logits = model(**inputs).logits
-            up = torch.nn.functional.interpolate(
-                logits, size=image.shape[:2], mode="bilinear", align_corners=False
-            )
-            return up.argmax(1)[0].numpy()
+        img = np.asarray(image, np.float32) / 255.0
+        return np.asarray(seg(params, img))
 
     return predict
+
+
+def _load_local_segformer_weights(model_path: str | None):
+    """Local-only weight lookup: explicit path, MUDG_SEGFORMER_PATH, or the
+    HF cache for the standard cityscapes-B3 repo."""
+    candidates = []
+    if model_path:
+        candidates.append(model_path)
+    env = os.environ.get("MUDG_SEGFORMER_PATH")
+    if env:
+        candidates.append(env)
+    try:  # resolved HF cache snapshot, if it was ever downloaded
+        from huggingface_hub import snapshot_download
+
+        candidates.append(snapshot_download(
+            "nvidia/segformer-b3-finetuned-cityscapes-1024-1024",
+            local_files_only=True))
+    except Exception:
+        pass
+
+    for cand in candidates:
+        try:
+            if os.path.isdir(cand):
+                for fname in ("model.safetensors", "pytorch_model.bin"):
+                    f = os.path.join(cand, fname)
+                    if os.path.exists(f):
+                        return _read_weight_file(f)
+            elif os.path.exists(cand):
+                return _read_weight_file(cand)
+        except Exception:
+            continue
+    return None
+
+
+def _read_weight_file(path: str):
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        return load_file(path)
+    from ..train.checkpoint import _load_torch_pickle, normalize_state_dict
+
+    return normalize_state_dict(_load_torch_pickle(path))
 
 
 def segment_frames(image_dir: str, out_root: str, cam: str, predictor,

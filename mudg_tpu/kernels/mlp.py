@@ -1,0 +1,150 @@
+"""Fused GEGLU feed-forward Pallas kernel.
+
+The transformer FF (GEGLU: u,g = x@W1 split; y = (u * gelu(g)) @ W2,
+lvdm/modules/attention.py:579-606) is the single most expensive op family in
+the UNet after attention, and XLA runs it at 38% of peak at ds1 because the
+(M, 8C) intermediate makes two HBM round trips (scripts/opbench.py).
+
+This kernel tiles over (row blocks x intermediate chunks) and keeps the
+intermediate entirely in VMEM: per grid cell it computes a (BM, S) slice of
+both the value and gate halves, applies the exact-erf GELU gate, and
+accumulates the (BM, C) output across intermediate chunks in-place. W1 is
+read twice per chunk via two BlockSpecs over the same array (value half at
+column offset 0, gate half at offset 4C). HBM traffic: x and y once, weights
+once per row-block sweep.
+
+Forward kernel + XLA-math custom VJP (training recomputes the cheap
+projections; activation memory stays O(M*C)).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _erf(x):
+    """erf via Abramowitz & Stegun 7.1.26 (max abs err 1.5e-7, far below
+    bf16 resolution): Mosaic TPU has no erf primitive, but exp lowers fine."""
+    s = jnp.sign(x)
+    a = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return s * (1.0 - poly * jnp.exp(-a * a))
+
+
+def _ff_kernel(x_ref, w1v_ref, w1g_ref, b1_ref, w2_ref, b2_ref, o_ref,
+               acc_ref, *, n_ic):
+    ic = pl.program_id(1)
+
+    @pl.when(ic == 0)
+    def _init():
+        acc_ref[...] = jnp.broadcast_to(
+            b2_ref[...].astype(jnp.float32), acc_ref.shape
+        )
+
+    x = x_ref[...]
+    u = jax.lax.dot(x, w1v_ref[...], preferred_element_type=jnp.float32)
+    g = jax.lax.dot(x, w1g_ref[...], preferred_element_type=jnp.float32)
+    b1 = b1_ref[...].astype(jnp.float32)  # (2, S): row 0 value, row 1 gate
+    u = u + b1[0]
+    g = g + b1[1]
+    # exact-erf GELU gate: gelu(g) = g * Phi(g)
+    h = (u * g * 0.5 * (1.0 + _erf(g * (2.0 ** -0.5)))).astype(x.dtype)
+    acc_ref[...] += jax.lax.dot(
+        h, w2_ref[...], preferred_element_type=jnp.float32
+    )
+
+    @pl.when(ic == n_ic - 1)
+    def _store():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+def _pick_chunk(inner: int) -> int:
+    for s in (1024, 768, 640, 512, 384, 256, 128):
+        if inner % s == 0:
+            return s
+    return inner
+
+
+def geglu_ff_eligible(x, w1) -> bool:
+    m = 1
+    for d in x.shape[:-1]:
+        m *= d
+    c = x.shape[-1]
+    inner = w1.shape[1] // 2
+    return c % 8 == 0 and inner % 128 == 0 and m % 256 == 0
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def fused_geglu_ff(x, w1, b1, w2, b2):
+    """x: (..., C); w1: (C, 2*inner) [value | gate]; w2: (inner, C)."""
+    return _ff_apply(x, w1, b1, w2, b2)
+
+
+def _ff_apply(x, w1, b1, w2, b2):
+    orig_shape = x.shape
+    c = x.shape[-1]
+    m = x.size // c
+    xf = x.reshape(m, c)
+    inner = w1.shape[1] // 2
+
+    s = _pick_chunk(inner)
+    n_ic = inner // s
+    bm = 512
+    while m % bm:
+        bm //= 2
+
+    w1 = w1.astype(x.dtype)
+    w2 = w2.astype(x.dtype)
+    # b1 as (2, S)-blockable matrix: row 0 = value bias, row 1 = gate bias
+    b1m = jnp.stack([b1[:inner], b1[inner:]]).astype(jnp.float32)
+    b2 = b2.astype(jnp.float32)
+
+    grid = (m // bm, n_ic)
+    out = pl.pallas_call(
+        functools.partial(_ff_kernel, n_ic=n_ic),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, c), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, s), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, s), lambda i, j: (0, j + n_ic), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, s), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((s, c), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, c), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, c), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, c), jnp.float32)],
+        interpret=_interpret(),
+    )(xf, w1, w1, b1m, w2, b2[None])
+    return out.reshape(orig_shape)
+
+
+def _ff_math(x, w1, b1, w2, b2):
+    u = x @ w1.astype(x.dtype) + b1.astype(x.dtype)
+    h, g = jnp.split(u, 2, axis=-1)
+    h = h * jax.nn.gelu(g, approximate=False)
+    return h @ w2.astype(x.dtype) + b2.astype(x.dtype)
+
+
+def _ff_vjp_fwd(x, w1, b1, w2, b2):
+    return _ff_apply(x, w1, b1, w2, b2), (x, w1, b1, w2, b2)
+
+
+def _ff_vjp_bwd(res, g):
+    x, w1, b1, w2, b2 = res
+    _, vjp = jax.vjp(_ff_math, x, w1, b1, w2, b2)
+    return vjp(g)
+
+
+fused_geglu_ff.defvjp(_ff_vjp_fwd, _ff_vjp_bwd)

@@ -16,6 +16,7 @@ Param pytrees mirror the torch module paths, e.g. a CrossAttention is
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 
 import jax
@@ -34,6 +35,15 @@ def _flash_available():
         return True
     except Exception:  # pragma: no cover
         return False
+
+
+def _short_kernels_on() -> bool:
+    # TPU-only: CPU tests would hit the slow Pallas interpreter. Opt out with
+    # MUDG_SHORT_ATTN=0.
+    return (
+        os.environ.get("MUDG_SHORT_ATTN", "1") == "1"
+        and jax.default_backend() == "tpu"
+    )
 
 
 def attend(q, k, v, *, bias=None, causal=False, impl="auto"):
@@ -58,6 +68,16 @@ def attend(q, k, v, *, bias=None, causal=False, impl="auto"):
     if use_flash:
         from ..kernels.flash_attention import flash_attention
         return flash_attention(q, k, v)
+
+    if bias is None and not causal and impl == "auto" and _short_kernels_on():
+        from ..kernels import short_attention as SA
+
+        # tiny equal-length sequences (temporal T=16): block-diagonal packing
+        if q.shape[1] == k.shape[1] and SA.packed_short_attention_eligible(q):
+            return SA.packed_short_attention(q, k, v)
+        # small KV (text/image cross, short spatial self): VMEM-resident KV
+        if SA.short_kv_attention_eligible(q, k):
+            return SA.short_kv_attention(q, k, v)
 
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
     logits = logits * scale
@@ -202,7 +222,28 @@ def joint_cross_attention(p, x, *, heads, num_tasks, impl="auto"):
 
 
 def feed_forward(p, x):
-    """GEGLU feed-forward (attention.py:579-606): net.0=GEGLU, net.2=Linear."""
+    """GEGLU feed-forward (attention.py:579-606): net.0=GEGLU, net.2=Linear.
+
+    On TPU this runs as one fused Pallas kernel (kernels/mlp.py) that keeps
+    the (M, 8C) intermediate in VMEM — XLA's version makes two HBM round
+    trips through it (38% vs ~70% of peak at ds1, scripts/opbench.py)."""
+    w1 = p["net"]["0"]["proj"]["weight"]
+    w2 = p["net"]["2"]["weight"]
+    if (
+        os.environ.get("MUDG_FUSED_FF", "1") == "1"
+        and jax.default_backend() == "tpu"
+    ):
+        from ..kernels import mlp as M
+
+        if M.geglu_ff_eligible(x, w1):
+            inner = w1.shape[1] // 2
+            b1 = p["net"]["0"]["proj"].get("bias")
+            b2 = p["net"]["2"].get("bias")
+            if b1 is None:
+                b1 = jnp.zeros((2 * inner,), x.dtype)
+            if b2 is None:
+                b2 = jnp.zeros((w2.shape[1],), x.dtype)
+            return M.fused_geglu_ff(x, w1, b1, w2, b2)
     h = F.linear(p["net"]["0"]["proj"], x)
     h, gate = jnp.split(h, 2, axis=-1)
     h = h * F.gelu(gate)

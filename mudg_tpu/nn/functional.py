@@ -40,8 +40,9 @@ def linear(p, x):
     return y
 
 
-def conv2d(p, x, stride: int | tuple = 1, padding="SAME"):
-    """x: (N, H, W, C) -> (N, H', W', O)."""
+def conv2d(p, x, stride: int | tuple = 1, padding="SAME", groups: int = 1):
+    """x: (N, H, W, C) -> (N, H', W', O). groups>1 = grouped/depthwise conv
+    (weight layout (kh, kw, C/groups, O), the natural transpose of torch's)."""
     if isinstance(stride, int):
         stride = (stride, stride)
     y = jax.lax.conv_general_dilated(
@@ -50,10 +51,19 @@ def conv2d(p, x, stride: int | tuple = 1, padding="SAME"):
         window_strides=stride,
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
     )
     if "bias" in p and p["bias"] is not None:
         y = y + p["bias"].astype(x.dtype)
     return y
+
+
+def batch_norm(p, x, eps: float = 1e-5):
+    """Inference-mode BatchNorm over channels-last input (running stats)."""
+    inv = jax.lax.rsqrt(p["running_var"].astype(jnp.float32) + eps)
+    w = p["weight"].astype(jnp.float32) * inv
+    b = p["bias"].astype(jnp.float32) - p["running_mean"].astype(jnp.float32) * w
+    return (x.astype(jnp.float32) * w + b).astype(x.dtype)
 
 
 def conv1d(p, x, stride: int = 1, padding="SAME"):

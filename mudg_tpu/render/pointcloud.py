@@ -148,3 +148,44 @@ def merge_objects_at_frame(obj_info: list[dict], obj_vis: np.ndarray, frame: int
     if not xs:
         return np.array([[1000.0, 1000.0, 1000.0]]), np.array([[0.0, 0.0, 0.0]])
     return np.concatenate(xs, axis=0), np.concatenate(cs, axis=0)
+
+
+def read_colmap_points3d_bin(path: str):
+    """Colmap points3D.bin reader (tools/merge_points.py:48-76; colmap
+    Reconstruction::ReadPoints3DBinary layout: u64 count, then per point
+    [u64 id, 3x f64 xyz, 3x u8 rgb, f64 error, u64 track_len, track_len x
+    (i32 image_id, i32 point2D_idx)]).
+
+    Returns (xyz (N,3) f64, rgb (N,3) u8, error (N,) f64).
+    """
+    import struct
+
+    with open(path, "rb") as f:
+        data = f.read()
+    (n,) = struct.unpack_from("<Q", data, 0)
+    off = 8
+    xyz = np.empty((n, 3))
+    rgb = np.empty((n, 3), np.uint8)
+    err = np.empty(n)
+    head = struct.Struct("<QdddBBBdQ")
+    for i in range(n):
+        vals = head.unpack_from(data, off)
+        off += head.size
+        xyz[i] = vals[1:4]
+        rgb[i] = vals[4:7]
+        err[i] = vals[7]
+        off += 8 * vals[8]  # skip the (image_id, point2D_idx) track
+    return xyz, rgb, err
+
+
+def merge_sfm_lidar(out_path: str, colmap_bin: str, lidar_ply: str):
+    """Concatenate colmap SfM points with the LiDAR cloud into merged.ply
+    (tools/merge_points.py:79-93). Returns the merged (xyz, rgb01)."""
+    sfm_xyz, sfm_rgb, _ = read_colmap_points3d_bin(colmap_bin)
+    lidar_xyz, lidar_rgb01, _ = fetch_ply(lidar_ply)
+    xyz = np.concatenate([lidar_xyz.astype(np.float64), sfm_xyz], axis=0)
+    rgb01 = np.concatenate(
+        [lidar_rgb01, sfm_rgb.astype(np.float32) / 255.0], axis=0)
+    store_ply(out_path, xyz.astype(np.float32),
+              (rgb01 * 255).astype(np.uint8))
+    return xyz, rgb01

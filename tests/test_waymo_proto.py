@@ -333,3 +333,49 @@ def test_dynamic_stats_collectors():
     assert speeds["Vehicle"]["obj-moving"]["motions"][0] == pytest.approx(3.0)
     counts = ETL.count_all(frames)
     assert counts["Pedestrian"]["obj-static"] == 2  # 0-based like reference
+
+
+# ---------------------------------------------------------------------------
+# colmap points3D.bin reader + sfm/lidar merge (tools/merge_points.py)
+# ---------------------------------------------------------------------------
+
+def test_colmap_points3d_and_merge(tmp_path):
+    from mudg_tpu.render import pointcloud as PC
+
+    rng = np.random.default_rng(0)
+    n = 17
+    xyz = rng.normal(0, 10, (n, 3))
+    rgb = rng.integers(0, 256, (n, 3)).astype(np.uint8)
+    err = rng.random(n)
+
+    # write a wire-valid points3D.bin with variable-length tracks
+    bin_path = str(tmp_path / "points3D.bin")
+    with open(bin_path, "wb") as f:
+        f.write(struct.pack("<Q", n))
+        for i in range(n):
+            f.write(struct.pack("<Qddd", i + 1, *xyz[i]))
+            f.write(struct.pack("<BBB", *rgb[i]))
+            f.write(struct.pack("<d", err[i]))
+            tl = int(rng.integers(0, 4))
+            f.write(struct.pack("<Q", tl))
+            for t in range(tl):
+                f.write(struct.pack("<ii", t, t * 2))
+
+    x2, c2, e2 = PC.read_colmap_points3d_bin(bin_path)
+    np.testing.assert_allclose(x2, xyz)
+    np.testing.assert_array_equal(c2, rgb)
+    np.testing.assert_allclose(e2, err)
+
+    # lidar cloud + merge
+    lidar_xyz = rng.normal(0, 5, (9, 3)).astype(np.float32)
+    lidar_rgb = rng.integers(0, 256, (9, 3)).astype(np.uint8)
+    lidar_ply = str(tmp_path / "pointcloud.ply")
+    PC.store_ply(lidar_ply, lidar_xyz, lidar_rgb)
+
+    merged_ply = str(tmp_path / "merged.ply")
+    mx, mc = PC.merge_sfm_lidar(merged_ply, bin_path, lidar_ply)
+    assert mx.shape == (n + 9, 3)
+    rx, rc, _ = PC.fetch_ply(merged_ply)
+    assert rx.shape == (n + 9, 3)
+    np.testing.assert_allclose(rx[:9], lidar_xyz, atol=1e-5)
+    np.testing.assert_allclose(rx[9:], xyz, atol=1e-4)
