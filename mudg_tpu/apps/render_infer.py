@@ -100,7 +100,9 @@ def main(argv=None):
 
         cfg = _dc.replace(cfg, base_scale=args.base_scale)
     params = load_params(args, cfg)
-    tokenizer = default_tokenizer(args.bpe)
+    # real checkpoints demand the real BPE table (hash ids would index
+    # meaningless rows of the learned text embedding)
+    tokenizer = default_tokenizer(args.bpe, require_real=bool(args.ckpt))
     resolution = (args.height, args.width)
     vl = args.video_length
 

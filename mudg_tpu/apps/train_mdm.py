@@ -156,7 +156,7 @@ def main(argv=None):
             "image_proj": jax.tree.map(lambda _: True, state.params["image_proj"]),
         }
 
-    tokenizer = default_tokenizer(args.bpe)
+    tokenizer = default_tokenizer(args.bpe, require_real=bool(args.ckpt))
     null_tokens = jnp.asarray(tokenizer([""])[0])
     sched_arrays = M.schedule_arrays(cfg.schedule())
     train_step = TS.make_train_step(

@@ -183,15 +183,55 @@ class HashTokenizer:
         return out
 
 
-def default_tokenizer(bpe_path: str | None = None):
-    """ClipTokenizer if a merge table is available (arg, env var, or common
-    locations), else HashTokenizer."""
+def _hf_cache_merges() -> list[str]:
+    """merges.txt from any locally cached HF CLIP tokenizer (the OpenCLIP
+    ViT-H checkpoints ship the same 16e6 merge table)."""
+    found: list[str] = []
+    try:
+        from huggingface_hub import snapshot_download
+
+        for repo in (
+            "laion/CLIP-ViT-H-14-laion2B-s32B-b79K",
+            "openai/clip-vit-large-patch14",
+            "openai/clip-vit-base-patch32",
+        ):
+            try:
+                d = snapshot_download(repo, local_files_only=True,
+                                      allow_patterns=["merges.txt"])
+                p = os.path.join(d, "merges.txt")
+                if os.path.exists(p):
+                    found.append(p)
+            except Exception:
+                continue
+    except Exception:
+        pass
+    return found
+
+
+def default_tokenizer(bpe_path: str | None = None, *, require_real: bool = False):
+    """ClipTokenizer if a merge table is available (arg, env var, packaged
+    file, or a locally cached HF CLIP repo), else HashTokenizer.
+
+    require_real=True refuses the hash fallback: real-checkpoint inference
+    with hash token ids would silently condition on garbage text embeddings
+    (the text tower indexes its learned vocab, condition.py:210). Override
+    with MUDG_ALLOW_HASH_TOKENIZER=1 for smoke runs.
+    """
     candidates = [
         bpe_path,
         os.environ.get("MUDG_BPE_PATH"),
         os.path.join(os.path.dirname(__file__), "bpe_simple_vocab_16e6.txt.gz"),
     ]
+    candidates += _hf_cache_merges()
     for c in candidates:
         if c and os.path.exists(c):
             return ClipTokenizer(c)
+    if require_real and os.environ.get("MUDG_ALLOW_HASH_TOKENIZER") != "1":
+        raise FileNotFoundError(
+            "No CLIP BPE merge table found. Checkpoint-compatible text "
+            "conditioning needs the open_clip bpe_simple_vocab_16e6.txt.gz "
+            "(or any CLIP merges.txt, e.g. from a cached HF CLIP repo). Pass "
+            "--bpe/MUDG_BPE_PATH, or set MUDG_ALLOW_HASH_TOKENIZER=1 to "
+            "proceed with hash tokens (NOT checkpoint-compatible)."
+        )
     return HashTokenizer()

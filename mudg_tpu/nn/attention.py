@@ -38,12 +38,8 @@ def _flash_available():
 
 
 def _short_kernels_on() -> bool:
-    # TPU-only: CPU tests would hit the slow Pallas interpreter. Opt out with
-    # MUDG_SHORT_ATTN=0.
-    return (
-        os.environ.get("MUDG_SHORT_ATTN", "1") == "1"
-        and jax.default_backend() == "tpu"
-    )
+    # TPU-only: CPU tests would hit the slow Pallas interpreter.
+    return jax.default_backend() == "tpu"
 
 
 def attend(q, k, v, *, bias=None, causal=False, impl="auto"):
@@ -69,13 +65,20 @@ def attend(q, k, v, *, bias=None, causal=False, impl="auto"):
         from ..kernels.flash_attention import flash_attention
         return flash_attention(q, k, v)
 
-    if bias is None and not causal and impl == "auto" and _short_kernels_on():
+    # NEGATIVE RESULT (v5e, don't redo blindly): the Pallas short-sequence
+    # kernels (kernels/short_attention.py) measured SLOWER than this dense
+    # XLA path at the UNet shapes — packed temporal 1.77 vs 1.28 ms, short-KV
+    # cross 0.71 vs 0.45 ms (fold/unfold transposes + per-pack loop overhead
+    # eat the MXU gain; scripts/kernelbench.py). Opt-in via MUDG_SHORT_ATTN=1
+    # for future tuning.
+    if (
+        bias is None and not causal and impl == "auto"
+        and os.environ.get("MUDG_SHORT_ATTN") == "1" and _short_kernels_on()
+    ):
         from ..kernels import short_attention as SA
 
-        # tiny equal-length sequences (temporal T=16): block-diagonal packing
         if q.shape[1] == k.shape[1] and SA.packed_short_attention_eligible(q):
             return SA.packed_short_attention(q, k, v)
-        # small KV (text/image cross, short spatial self): VMEM-resident KV
         if SA.short_kv_attention_eligible(q, k):
             return SA.short_kv_attention(q, k, v)
 

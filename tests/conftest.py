@@ -16,6 +16,16 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 assert jax.default_backend() == "cpu", jax.default_backend()
 
+# Persistent compilation cache: XLA compiles route through a slow remote
+# service in this environment, and compile time dominates the suite (~30 min
+# cold). With the cache, repeat runs skip every unchanged compile.
+# Delete .jax_test_cache if the host ever SIGILLs on a cached executable
+# (the compile service machine advertises more ISA features than the host).
+_cache_dir = os.path.join(os.path.dirname(__file__), os.pardir, ".jax_test_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 
 # ---------------------------------------------------------------------------
 # shared synthetic scene fixture (see tests/test_data_pipeline.py for the

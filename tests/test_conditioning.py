@@ -109,3 +109,38 @@ def test_bytes_to_unicode_reversible():
     m = T.bytes_to_unicode()
     assert len(m) == 256
     assert len(set(m.values())) == 256
+
+
+def test_clip_bpe_matches_transformers_oracle(tmp_path):
+    """Cross-check our BPE against the canonical HF CLIPTokenizer given the
+    SAME merge table + the open_clip vocab construction — validates the
+    algorithm end-to-end (open_clip and HF produce identical ids for the
+    published vocab)."""
+    import json
+
+    transformers = pytest.importorskip("transformers")
+
+    merges = ["i n", "t h", "a n", "r e", "in g</w>", "th e</w>", "an d</w>",
+              "c a", "ca r</w>", "s t", "st re", "stre e", "stree t</w>",
+              "d r", "dr i", "dri v", "driv ing</w>"]
+    mpath = tmp_path / "merges.txt"
+    mpath.write_text("#version: 0.2\n" + "\n".join(merges) + "\n")
+
+    ours = T.ClipTokenizer(str(mpath))
+
+    vocab = {tok: i for i, tok in enumerate(
+        list(T.bytes_to_unicode().values())
+        + [v + "</w>" for v in T.bytes_to_unicode().values()]
+        + ["".join(m.split()) for m in merges]
+        + ["<|startoftext|>", "<|endoftext|>"]
+    )}
+    vpath = tmp_path / "vocab.json"
+    vpath.write_text(json.dumps(vocab))
+
+    hf = transformers.CLIPTokenizer(str(vpath), str(mpath))
+
+    for text in ("the car and the street", "Driving, fast! in the rain",
+                 "a  weird   WHITESPACE\tstring", "don't stop"):
+        ours_ids = [ours.sot] + ours.encode(text) + [ours.eot]
+        hf_ids = hf(text)["input_ids"]
+        assert ours_ids == hf_ids, f"{text!r}: {ours_ids} != {hf_ids}"
