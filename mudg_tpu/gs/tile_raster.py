@@ -1,0 +1,401 @@
+"""Pallas TPU tile rasterizer for 3D Gaussian Splatting (fwd + bwd).
+
+Scales the 3DGS subsystem past the XLA sort+scan path (gs/rasterize.py),
+replacing the external CUDA rasterizer dependency of the reference
+(README.md:113-114; SURVEY §2.7(5)). Differences from the XLA path:
+
+  * no per-gaussian tile cap: gaussian->tile pairs are enumerated exactly via
+    a cumsum/searchsorted expansion under a single global `max_pairs` budget
+    (overflow degrades gracefully: the deepest-sorted tail is dropped and
+    reported, not silently mis-rendered),
+  * no per-tile capacity: each tile's sorted segment is streamed through
+    VMEM in chunks with a dynamic while-loop and early termination when
+    every pixel's transmittance is saturated,
+  * compositing math runs in one kernel pass (alpha, block-diagonal-free
+    prefix transmittances via a strictly-lower-triangular matmul in log
+    space) instead of a max_per_tile-step lax.scan.
+
+Orientation inside the kernel: gaussians on sublanes (chunk of 128), pixels
+on lanes (16x16 tile = 256). The backward kernel recomputes the forward in
+two sweeps (total + prefix), avoiding reverse-order transmittance division.
+
+Exact-parity semantics with gs/rasterize.py: 0.999 alpha clamp, 1/255 alpha
+cutoff, T<=1e-4 saturation masking, front-to-back (tile, depth) ordering.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .gaussians import Gaussians, project_gaussians
+from .rasterize import RasterOut, TILE, ALPHA_MIN, T_MIN, _tile_grid
+
+NPIX = TILE * TILE  # 256
+CK = 128            # gaussians per streamed chunk
+NFEAT = 16          # feature lanes per pair (11 used)
+NEG_BIG = -1e30
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# pair building (XLA): exact tile coverage under one global budget
+# ---------------------------------------------------------------------------
+
+def build_pairs(proj, colors, *, width: int, height: int, max_pairs: int):
+    """Returns (feats_sorted (P+CK, NFEAT) f32, starts (n_tiles+1,) i32,
+    n_dropped). feats rows are (tile, depth)-sorted; lanes:
+    [mux, muy, conic_a, conic_b, conic_c, opacity, r, g, b, depth, 0...]."""
+    tw, th = _tile_grid(width, height)
+    n_tiles = tw * th
+
+    x0 = jnp.clip(jnp.floor((proj.means2d[:, 0] - proj.radii) / TILE), 0, tw - 1).astype(jnp.int32)
+    x1 = jnp.clip(jnp.floor((proj.means2d[:, 0] + proj.radii) / TILE), 0, tw - 1).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((proj.means2d[:, 1] - proj.radii) / TILE), 0, th - 1).astype(jnp.int32)
+    y1 = jnp.clip(jnp.floor((proj.means2d[:, 1] + proj.radii) / TILE), 0, th - 1).astype(jnp.int32)
+    span = jnp.where(proj.visible, (x1 - x0 + 1) * (y1 - y0 + 1), 0)
+    offsets = jnp.cumsum(span)                       # inclusive
+    total = offsets[-1]
+    n_dropped = jnp.maximum(total - max_pairs, 0)
+
+    # pair slot j -> owning gaussian (searchsorted over inclusive cumsum)
+    slot = jnp.arange(max_pairs, dtype=jnp.int32)
+    gi = jnp.searchsorted(offsets, slot, side="right").astype(jnp.int32)
+    gi = jnp.minimum(gi, proj.means2d.shape[0] - 1)
+    local = slot - jnp.where(gi > 0, offsets[gi - 1], 0)
+    valid = slot < total
+
+    sx = local % jnp.maximum(x1[gi] - x0[gi] + 1, 1)
+    sy = local // jnp.maximum(x1[gi] - x0[gi] + 1, 1)
+    tile_id = jnp.where(valid, (y0[gi] + sy) * tw + (x0[gi] + sx), n_tiles)
+
+    # (tile, depth) lexicographic order via two stable sorts
+    depth = proj.depths[gi]
+    order1 = jnp.argsort(depth, stable=True)
+    order = order1[jnp.argsort(tile_id[order1], stable=True)]
+    gi_s = gi[order]
+    tile_s = tile_id[order]
+
+    feats = jnp.zeros((max_pairs + CK, NFEAT), jnp.float32)
+    cols = jnp.stack([
+        proj.means2d[gi_s, 0], proj.means2d[gi_s, 1],
+        proj.conics[gi_s, 0], proj.conics[gi_s, 1], proj.conics[gi_s, 2],
+        proj.opacities[gi_s],
+        colors[gi_s, 0], colors[gi_s, 1], colors[gi_s, 2],
+        proj.depths[gi_s],
+    ], axis=-1).astype(jnp.float32)
+    feats = feats.at[:max_pairs, :10].set(cols)
+
+    bounds = jnp.searchsorted(
+        tile_s, jnp.arange(n_tiles + 1, dtype=jnp.int32)
+    ).astype(jnp.int32)
+    return feats, bounds, n_dropped
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+def _pix_coords(t, tw):
+    """Pixel-center coordinates of tile t as two (1, NPIX) rows."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, NPIX), 1)
+    px = (t % tw) * TILE + lane % TILE
+    py = (t // tw) * TILE + lane // TILE
+    return px.astype(jnp.float32) + 0.5, py.astype(jnp.float32) + 0.5
+
+
+def _tri_excl():
+    """(CK, CK) strictly-lower-triangular ones: row i sums entries j < i."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (CK, CK), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (CK, CK), 1)
+    return (c < r).astype(jnp.float32)
+
+
+def _chunk_alpha(f, px, py, nrem):
+    """Per-(gaussian, pixel) alpha for one chunk. f: (CK, NFEAT)."""
+    mux, muy = f[:, 0:1], f[:, 1:2]
+    ca, cb, cc = f[:, 2:3], f[:, 3:4], f[:, 4:5]
+    op = f[:, 5:6]
+    dx = px - mux          # (CK, NPIX)
+    dy = py - muy
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    g2d = jnp.exp(power)
+    alpha = jnp.minimum(op * g2d, 0.999)
+    rowid = jax.lax.broadcasted_iota(jnp.int32, (CK, 1), 0)
+    alive = rowid < nrem
+    alpha = jnp.where(alive & (alpha >= ALPHA_MIN), alpha, 0.0)
+    return alpha, power, g2d, dx, dy
+
+
+def _fwd_kernel(bounds_ref, feats_hbm, out_ref, buf, sem, *, tw):
+    t = pl.program_id(0)
+    start = bounds_ref[t]
+    count = bounds_ref[t + 1] - start
+    px, py = _pix_coords(t, tw)
+    tri = _tri_excl()
+
+    nck = (count + CK - 1) // CK
+
+    def cond(c):
+        i, T, *_ = c
+        return (i < nck) & (jnp.max(T) > T_MIN)
+
+    def body(c):
+        i, T, cr, cg, cb_, cd = c
+        cp = pltpu.make_async_copy(
+            feats_hbm.at[pl.ds(start + i * CK, CK), :], buf, sem)
+        cp.start()
+        cp.wait()
+        f = buf[...]
+        alpha0, *_ = _chunk_alpha(f, px, py, count - i * CK)
+        lg0 = jnp.log(1.0 - alpha0)
+        tat = T * jnp.exp(jax.lax.dot(tri, lg0, preferred_element_type=jnp.float32))
+        alpha = jnp.where(tat > T_MIN, alpha0, 0.0)
+        w = alpha * tat
+        cr = cr + jnp.sum(w * f[:, 6:7], axis=0, keepdims=True)
+        cg = cg + jnp.sum(w * f[:, 7:8], axis=0, keepdims=True)
+        cb_ = cb_ + jnp.sum(w * f[:, 8:9], axis=0, keepdims=True)
+        cd = cd + jnp.sum(w * f[:, 9:10], axis=0, keepdims=True)
+        T = T * jnp.exp(jnp.sum(jnp.log(1.0 - alpha), axis=0, keepdims=True))
+        return i + 1, T, cr, cg, cb_, cd
+
+    z = jnp.zeros((1, NPIX), jnp.float32)
+    init = (jnp.int32(0), jnp.ones((1, NPIX), jnp.float32), z, z, z, z)
+    _, T, cr, cg, cb_, cd = jax.lax.while_loop(cond, body, init)
+
+    out_ref[0] = jnp.concatenate(
+        [cr, cg, cb_, cd, T, z, z, z], axis=0)  # (8, NPIX)
+
+
+def _composite_fwd_impl(feats, bounds, *, n_tiles, tw):
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((1, 8, NPIX), lambda t, *_: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((CK, NFEAT), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, tw=tw),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 8, NPIX), jnp.float32),
+        interpret=_interpret(),
+    )(bounds, feats)
+
+
+# ---------------------------------------------------------------------------
+# backward kernel (two forward sweeps: totals, then prefix + grads)
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(bounds_ref, feats_hbm, gout_ref, dfeats_hbm, buf, gbuf, sem,
+                wsem, *, tw):
+    t = pl.program_id(0)
+    start = bounds_ref[t]
+    count = bounds_ref[t + 1] - start
+    px, py = _pix_coords(t, tw)
+    tri = _tri_excl()
+    nck = (count + CK - 1) // CK
+
+    g_r = gout_ref[0, 0:1, :]
+    g_g = gout_ref[0, 1:2, :]
+    g_b = gout_ref[0, 2:3, :]
+    g_d = gout_ref[0, 3:4, :]
+    g_t = gout_ref[0, 4:5, :]
+
+    def load(i):
+        cp = pltpu.make_async_copy(
+            feats_hbm.at[pl.ds(start + i * CK, CK), :], buf, sem)
+        cp.start()
+        cp.wait()
+        return buf[...]
+
+    # ---- sweep 1: total sum of w*G and final T ----------------------------
+    def body1(c):
+        i, T, wg = c
+        f = load(i)
+        alpha0, *_ = _chunk_alpha(f, px, py, count - i * CK)
+        lg0 = jnp.log(1.0 - alpha0)
+        tat = T * jnp.exp(jax.lax.dot(tri, lg0, preferred_element_type=jnp.float32))
+        alpha = jnp.where(tat > T_MIN, alpha0, 0.0)
+        w = alpha * tat
+        G = f[:, 6:7] * g_r + f[:, 7:8] * g_g + f[:, 8:9] * g_b + f[:, 9:10] * g_d
+        wg = wg + jnp.sum(w * G, axis=0, keepdims=True)
+        T = T * jnp.exp(jnp.sum(jnp.log(1.0 - alpha), axis=0, keepdims=True))
+        return i + 1, T, wg
+
+    def cond1(c):
+        i, T, _ = c
+        return (i < nck) & (jnp.max(T) > T_MIN)
+
+    z = jnp.zeros((1, NPIX), jnp.float32)
+    _, t_final, wg_total = jax.lax.while_loop(
+        cond1, body1, (jnp.int32(0), jnp.ones((1, NPIX), jnp.float32), z))
+
+    tail = t_final * g_t  # contribution of dT_final through every (1-alpha)
+
+    # ---- sweep 2: prefix + per-pair grads (runs ALL chunks so every pair
+    # row of this tile gets written, even past saturation) -------------------
+    def body2(c):
+        i, T, cum = c
+        f = load(i)
+        alpha0, power, g2d, dx, dy = _chunk_alpha(f, px, py, count - i * CK)
+        lg0 = jnp.log(1.0 - alpha0)
+        tat = T * jnp.exp(jax.lax.dot(tri, lg0, preferred_element_type=jnp.float32))
+        alpha = jnp.where(tat > T_MIN, alpha0, 0.0)
+        w = alpha * tat
+        G = f[:, 6:7] * g_r + f[:, 7:8] * g_g + f[:, 8:9] * g_b + f[:, 9:10] * g_d
+        wG = w * G
+        # prefix-inclusive sum over ALL earlier pairs (across chunks)
+        pref = cum + jax.lax.dot(tri, wG, preferred_element_type=jnp.float32) + wG
+        suffix = wg_total - pref
+        live = alpha > 0.0
+        dalpha = jnp.where(
+            live, tat * G - (suffix + tail) / (1.0 - alpha), 0.0)
+        # clamp gate: no grad where op*g2d hit the 0.999 ceiling
+        unclamped = (f[:, 5:6] * g2d) < 0.999
+        dalpha = jnp.where(unclamped, dalpha, 0.0)
+        dop_px = dalpha * g2d
+        dpow = dalpha * f[:, 5:6] * g2d
+        ca, cb, cc = f[:, 2:3], f[:, 3:4], f[:, 4:5]
+
+        def rsum(x):
+            return jnp.sum(x, axis=1, keepdims=True)  # (CK, 1)
+
+        dmux = rsum(dpow * (ca * dx + cb * dy))
+        dmuy = rsum(dpow * (cc * dy + cb * dx))
+        dca = rsum(dpow * (-0.5 * dx * dx))
+        dcb = rsum(dpow * (-dx * dy))
+        dcc = rsum(dpow * (-0.5 * dy * dy))
+        dop = rsum(dop_px)
+        dr = rsum(w * g_r)
+        dg = rsum(w * g_g)
+        db = rsum(w * g_b)
+        dd = rsum(w * g_d)
+        zc = jnp.zeros((CK, 1), jnp.float32)
+        gbuf[...] = jnp.concatenate(
+            [dmux, dmuy, dca, dcb, dcc, dop, dr, dg, db, dd,
+             zc, zc, zc, zc, zc, zc], axis=1)
+        cp = pltpu.make_async_copy(
+            gbuf, dfeats_hbm.at[pl.ds(start + i * CK, CK), :], wsem)
+        cp.start()
+        cp.wait()
+        cum = cum + jnp.sum(wG, axis=0, keepdims=True)
+        T = T * jnp.exp(jnp.sum(jnp.log(1.0 - alpha), axis=0, keepdims=True))
+        return i + 1, T, cum
+
+    def cond2(c):
+        return c[0] < nck
+
+    jax.lax.while_loop(
+        cond2, body2, (jnp.int32(0), jnp.ones((1, NPIX), jnp.float32), z))
+    # dummy aliasing write so the out ref is considered produced
+    # (all real writes went through DMA)
+
+
+def _composite_bwd_impl(feats, bounds, gout, *, n_tiles, tw):
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, 8, NPIX), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((CK, NFEAT), jnp.float32),
+            pltpu.VMEM((CK, NFEAT), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, tw=tw),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(feats.shape, jnp.float32),
+        interpret=_interpret(),
+    )(bounds, feats, gout)
+
+
+# ---------------------------------------------------------------------------
+# custom-vjp composite op + public rasterizer
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def composite_tiles(feats, bounds, n_tiles: int, tw: int):
+    """feats (P+CK, NFEAT) sorted pairs -> (n_tiles, 8, NPIX) images
+    [r, g, b, depth, T, ...]."""
+    return _composite_fwd_impl(feats, bounds, n_tiles=n_tiles, tw=tw)
+
+
+def _ct_fwd(feats, bounds, n_tiles, tw):
+    out = _composite_fwd_impl(feats, bounds, n_tiles=n_tiles, tw=tw)
+    return out, (feats, bounds)
+
+
+def _ct_bwd(n_tiles, tw, res, gout):
+    feats, bounds = res
+    dfeats = _composite_bwd_impl(feats, bounds, gout, n_tiles=n_tiles, tw=tw)
+    # rows past the last valid pair (overflow bin + padding) were never
+    # visited by any tile's sweep: zero them.
+    nvalid = bounds[n_tiles]
+    row = jnp.arange(feats.shape[0], dtype=jnp.int32)[:, None]
+    dfeats = jnp.where(row < nvalid, dfeats, 0.0)
+    return dfeats, None
+
+
+composite_tiles.defvjp(_ct_fwd, _ct_bwd)
+
+
+def rasterize_pallas(
+    g: Gaussians,
+    K,
+    w2c,
+    *,
+    width: int,
+    height: int,
+    max_pairs: int = 2 ** 21,
+    bg_color=(0.0, 0.0, 0.0),
+) -> RasterOut:
+    """Pallas-tiled differentiable rasterization (drop-in for
+    rasterize.rasterize, minus the per-tile/per-gaussian capacity caps)."""
+    tw, th = _tile_grid(width, height)
+    n_tiles = tw * th
+    proj = project_gaussians(g, K, w2c, width=width, height=height)
+    feats, bounds, n_dropped = build_pairs(
+        proj, g.colors, width=width, height=height, max_pairs=max_pairs)
+    out = composite_tiles(feats, bounds, n_tiles, tw)
+
+    color = out[:, 0:3, :].transpose(0, 2, 1)   # (n_tiles, NPIX, 3)
+    depth = out[:, 3, :]
+    trans = out[:, 4, :]
+    bg = jnp.asarray(bg_color, jnp.float32)
+    color = color + trans[..., None] * bg[None, None]
+
+    def untile(x):
+        ch = x.shape[-1] if x.ndim == 3 else None
+        if ch is None:
+            x = x[..., None]
+            ch = 1
+        x = x.reshape(th, tw, TILE, TILE, ch)
+        x = x.transpose(0, 2, 1, 3, 4).reshape(th * TILE, tw * TILE, ch)
+        x = x[:height, :width]
+        return x[..., 0] if ch == 1 else x
+
+    return RasterOut(
+        color=untile(color),
+        depth=untile(depth),
+        alpha=untile(1.0 - trans),
+        n_dropped=n_dropped,
+    )

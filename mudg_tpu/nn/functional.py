@@ -80,8 +80,35 @@ def conv1d(p, x, stride: int = 1, padding="SAME"):
     return y
 
 
+def temporal_conv311(p, x):
+    """(3,1,1) temporal conv as three shifted matmuls.
+
+    Equivalent to conv3d with a (3,1,1) kernel and SAME padding, but avoids
+    XLA's 3-D convolution layout entirely: the conv output layout forces
+    full-tensor relayout copies around the neighboring GroupNorms (measured:
+    a GN+SiLU+conv3d x4 chain runs 8.8 ms at ds1 vs 2.9 ms in this form,
+    scripts/tconvbench.py). x: (N, T, H, W, C); weight (3, 1, 1, C_in, C_out).
+    """
+    w = p["weight"].astype(x.dtype)
+    assert w.shape[:3] == (3, 1, 1), w.shape
+    w0, w1, w2 = w[0, 0, 0], w[1, 0, 0], w[2, 0, 0]
+    y = x @ w1
+    pad_t = ((0, 0), (1, 0), (0, 0), (0, 0), (0, 0))
+    y = y + jnp.pad(x[:, :-1] @ w0, pad_t)
+    y = y + jnp.pad(x[:, 1:] @ w2, ((0, 0), (0, 1), (0, 0), (0, 0), (0, 0)))
+    if "bias" in p and p["bias"] is not None:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
 def conv3d(p, x, stride=1, padding="SAME"):
     """x: (N, T, H, W, C) -> (N, T', H', W', O)."""
+    if (
+        p["weight"].shape[:3] == (3, 1, 1)
+        and stride in (1, (1, 1, 1))
+        and padding == "SAME"
+    ):
+        return temporal_conv311(p, x)
     if isinstance(stride, int):
         stride = (stride, stride, stride)
     y = jax.lax.conv_general_dilated(
@@ -123,18 +150,32 @@ def group_norm(p, x, num_groups: int = 32, eps: float = 1e-5):
 
         if norms.group_norm_fits(x):
             return norms.fused_group_norm(x, p["weight"], p["bias"], num_groups, eps)
+    # Layout-preserving formulation: reduce per-CHANNEL over the spatial dims
+    # (lane dim stays C), then combine channels into group stats on the tiny
+    # (N, C) tensor. The obvious reshape-to-(..., G, C/G) splits the lane
+    # dimension, and on TPU that costs two full f32 relayout copies of the
+    # activation per call (measured ~2.5 ms per GN-after-conv at ds1 — the
+    # dominant hidden cost of the temporal conv blocks; scripts/tconvbench.py).
     orig_dtype = x.dtype
     xf = x.astype(jnp.float32)
     c = xf.shape[-1]
     g = num_groups
     assert c % g == 0, f"channels {c} not divisible by groups {g}"
-    spatial = xf.shape[1:-1]
-    xg = xf.reshape(xf.shape[0], *spatial, g, c // g)
-    axes = tuple(range(1, xg.ndim - 2)) + (xg.ndim - 1,)
-    mean = jnp.mean(xg, axis=axes, keepdims=True)
-    var = jnp.var(xg, axis=axes, keepdims=True)
-    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
-    xf = xg.reshape(xf.shape)
+    n = xf.shape[0]
+    spatial_axes = tuple(range(1, xf.ndim - 1))
+    count = c // g
+    for d in xf.shape[1:-1]:
+        count *= d
+
+    def group_mean(per_channel):  # (N, C) -> (N, C) broadcast group means
+        gsum = per_channel.reshape(n, g, c // g).sum(axis=-1, keepdims=True)
+        return jnp.broadcast_to(gsum / count, (n, g, c // g)).reshape(n, c)
+
+    mean = group_mean(jnp.sum(xf, axis=spatial_axes))
+    bshape = (n,) + (1,) * len(spatial_axes) + (c,)
+    centered = xf - mean.reshape(bshape)
+    var = group_mean(jnp.sum(centered * centered, axis=spatial_axes))
+    xf = centered * jax.lax.rsqrt(var + eps).reshape(bshape)
     xf = xf * p["weight"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
     return xf.astype(orig_dtype)
 
