@@ -103,8 +103,121 @@ def main():
         "unit": "s/clip (16f 320x512, 25-step DDIM, 2pt-CFG, bf16, 1 chip)",
         "vs_baseline": round(10.0 / p50, 3),
     }
+    psnr = _psnr_vs_torch_oracle(log)
+    if psnr is not None:
+        result["quality_psnr_vs_torch_oracle_db"] = round(psnr, 2)
     print(json.dumps(result))
     return result
+
+
+def _psnr_vs_torch_oracle(log, steps: int = 5):
+    """Cross-framework quality canary: run the SAME small UNet (weights
+    exported from the actual reference torch code at /root/reference) through
+    an identical multi-step denoise loop in torch (fp32 CPU) and here (the
+    jitted production path), and report latent PSNR. Catches any layout or
+    algebra drift that latency alone would hide. Returns None when the
+    reference repo or torch is unavailable."""
+    try:
+        import sys
+
+        if "/root/reference" not in sys.path:
+            sys.path.insert(0, "/root/reference")
+        import torch
+        from lvdm.modules.networks.openaimodel3d import UNetModel
+
+        from mudg_tpu.nn import unet3d as U
+        from mudg_tpu.train import checkpoint as CK
+        from mudg_tpu.core.schedules import DiffusionSchedule
+    except Exception as e:  # pragma: no cover
+        log(f"psnr oracle skipped: {type(e).__name__}: {e}")
+        return None
+
+    log("psnr oracle: building tiny reference UNet")
+    t_len, b, hw = 4, 1, 8
+    ref = UNetModel(
+        in_channels=12, model_channels=32, out_channels=4, num_res_blocks=1,
+        attention_resolutions=[1], channel_mult=[1, 2], num_head_channels=16,
+        transformer_depth=1, context_dim=16, use_linear=True,
+        temporal_conv=True, temporal_attention=True,
+        use_relative_position=False, use_causal_attention=False,
+        temporal_length=t_len, addition_attention=True,
+        image_cross_attention=True, fs_condition=True,
+        class_label_condition=True, default_fs=10, dropout=0.0,
+    )
+    gen = torch.Generator().manual_seed(0)
+    with torch.no_grad():
+        for _, p in sorted(ref.named_parameters(), key=lambda kv: kv[0]):
+            p.copy_(torch.randn(p.shape, generator=gen) * 0.05)
+    ref.eval()
+
+    cfg = U.UNetConfig(
+        in_channels=12, out_channels=4, model_channels=32, num_res_blocks=1,
+        attention_resolutions=(1,), channel_mult=(1, 2), num_head_channels=16,
+        context_dim=16, temporal_length=t_len, image_tokens_per_frame=16,
+        dropout=0.0,
+    )
+    params = CK.state_dict_to_pytree(
+        {k: v.numpy() for k, v in ref.state_dict().items()}
+    )
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(0, 1, (b, 4, t_len, hw, hw)).astype(np.float32)
+    cond = rng.normal(0, 0.3, (b, 8, t_len, hw, hw)).astype(np.float32)
+    context = rng.normal(0, 1, (b, 77 + t_len * 16, 16)).astype(np.float32)
+    c_label = np.zeros((b,), np.int64)
+    fs = np.full((b,), 10, np.int64)
+
+    # shared DDIM-style update constants (uniform spacing over a small grid);
+    # rescale_betas_zero_snr off so a_t=acp[-1] stays nonzero for the update
+    sched = DiffusionSchedule.create(rescale_betas_zero_snr=False,
+                                     use_dynamic_rescale=False)
+    acp = np.asarray(sched.alphas_cumprod, np.float64)
+    tsteps = np.linspace(len(acp) - 1, 1, steps).astype(np.int64)
+
+    def update(xt, eps, i):
+        a_t = acp[tsteps[i]]
+        a_prev = acp[tsteps[i + 1]] if i + 1 < steps else 1.0
+        x0 = (xt - np.sqrt(1 - a_t) * eps) / np.sqrt(a_t)
+        return (np.sqrt(a_prev) * x0 + np.sqrt(1 - a_prev) * eps).astype(np.float32)
+
+    # torch side (fp32 CPU)
+    xt = x.copy()
+    with torch.no_grad():
+        for i in range(steps):
+            inp = np.concatenate([xt, cond], axis=1)
+            eps = ref(
+                torch.from_numpy(inp), torch.from_numpy(tsteps[i : i + 1]),
+                c_label=torch.from_numpy(c_label),
+                context=torch.from_numpy(context),
+                fs=torch.from_numpy(fs),
+            ).numpy()
+            xt = update(xt, eps, i)
+    ref_final = xt
+
+    # jax side (the production unet_apply, jitted once)
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def step_fn(params, xt, tstep):
+        inp = jnp.concatenate([xt, jnp.asarray(cond.transpose(0, 2, 3, 4, 1))], -1)
+        return U.unet_apply(
+            params, cfg, inp, tstep, jnp.asarray(context),
+            c_label=jnp.asarray(c_label.astype(np.int32)),
+            fs=jnp.asarray(fs.astype(np.int32)),
+        )
+
+    xt = jnp.asarray(x.transpose(0, 2, 3, 4, 1))
+    for i in range(steps):
+        eps = step_fn(params, xt, jnp.asarray(tsteps[i : i + 1].astype(np.int32)))
+        xt = jnp.asarray(update(np.asarray(xt), np.asarray(eps), i))
+    ours_final = np.asarray(xt).transpose(0, 4, 1, 2, 3)
+
+    mse = float(np.mean((ours_final - ref_final) ** 2))
+    rng_pow = float(np.mean(ref_final ** 2)) + 1e-12
+    psnr = 10.0 * np.log10(rng_pow / max(mse, 1e-12))
+    log(f"psnr oracle: {psnr:.2f} dB over {steps} shared denoise steps")
+    return psnr
 
 
 if __name__ == "__main__":

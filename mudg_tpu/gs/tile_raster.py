@@ -49,10 +49,45 @@ def _interpret() -> bool:
 # pair building (XLA): exact tile coverage under one global budget
 # ---------------------------------------------------------------------------
 
+def _pack8(feats):
+    """(P, 16) -> (P/8, 128) with pair j of each 128-block at row j%16,
+    lane-group j//16 — so the kernel's unpack (concat of 8 lane-groups along
+    sublanes) restores depth order exactly. HBM DMAs need 128-aligned lane
+    slices, hence this packing."""
+    p = feats.shape[0]
+    return (
+        feats.reshape(p // CK, 8, 16, NFEAT)
+        .transpose(0, 2, 1, 3)
+        .reshape(p // 8, 8 * NFEAT)
+    )
+
+
+def _unpack8(f8):
+    p = f8.shape[0] * 8
+    return (
+        f8.reshape(p // CK, 16, 8, NFEAT)
+        .transpose(0, 2, 1, 3)
+        .reshape(p, NFEAT)
+    )
+
+
+def _kernel_unpack(buf8):
+    """(16, 128) chunk -> (CK, NFEAT) in depth order (inverse of _pack8)."""
+    return jnp.concatenate(
+        [buf8[:, k * NFEAT:(k + 1) * NFEAT] for k in range(8)], axis=0)
+
+
+def _kernel_pack(g):
+    """(CK, NFEAT) -> (16, 128), inverse of _kernel_unpack."""
+    return jnp.concatenate(
+        [g[k * 16:(k + 1) * 16, :] for k in range(8)], axis=1)
+
+
 def build_pairs(proj, colors, *, width: int, height: int, max_pairs: int):
-    """Returns (feats_sorted (P+CK, NFEAT) f32, starts (n_tiles+1,) i32,
-    n_dropped). feats rows are (tile, depth)-sorted; lanes:
-    [mux, muy, conic_a, conic_b, conic_c, opacity, r, g, b, depth, 0...]."""
+    """Returns (feats8 (P_pad/8, 128) f32, bounds (n_tiles+1,) i32 with every
+    segment padded to a CK multiple, n_dropped). Pair lanes:
+    [mux, muy, conic_a, conic_b, conic_c, opacity, r, g, b, depth, 0...];
+    padding pairs are all-zero (alpha == 0, no contribution, zero grads)."""
     tw, th = _tile_grid(width, height)
     n_tiles = tw * th
 
@@ -83,20 +118,40 @@ def build_pairs(proj, colors, *, width: int, height: int, max_pairs: int):
     gi_s = gi[order]
     tile_s = tile_id[order]
 
-    feats = jnp.zeros((max_pairs + CK, NFEAT), jnp.float32)
     cols = jnp.stack([
         proj.means2d[gi_s, 0], proj.means2d[gi_s, 1],
         proj.conics[gi_s, 0], proj.conics[gi_s, 1], proj.conics[gi_s, 2],
         proj.opacities[gi_s],
         colors[gi_s, 0], colors[gi_s, 1], colors[gi_s, 2],
         proj.depths[gi_s],
+        jnp.zeros((max_pairs,)), jnp.zeros((max_pairs,)),
+        jnp.zeros((max_pairs,)), jnp.zeros((max_pairs,)),
+        jnp.zeros((max_pairs,)), jnp.zeros((max_pairs,)),
     ], axis=-1).astype(jnp.float32)
-    feats = feats.at[:max_pairs, :10].set(cols)
+    # zero out invalid (overflow-bin) rows so a padded segment never sees them
+    in_valid = (jnp.arange(max_pairs) < total)[order]
+    cols = jnp.where(in_valid[:, None], cols, 0.0)
 
     bounds = jnp.searchsorted(
         tile_s, jnp.arange(n_tiles + 1, dtype=jnp.int32)
     ).astype(jnp.int32)
-    return feats, bounds, n_dropped
+
+    # pad every tile segment to a CK multiple (DMA chunks must align with the
+    # 128-pair packing groups); static capacity covers worst-case padding
+    counts = bounds[1:] - bounds[:-1]
+    pcounts = ((counts + CK - 1) // CK) * CK
+    pbounds = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(pcounts).astype(jnp.int32)])
+    p_pad = max_pairs + n_tiles * CK
+    slot = jnp.arange(p_pad, dtype=jnp.int32)
+    t_of = (jnp.searchsorted(pbounds, slot, side="right") - 1).astype(jnp.int32)
+    t_of = jnp.clip(t_of, 0, n_tiles - 1)
+    off = slot - pbounds[t_of]
+    src = jnp.clip(bounds[t_of] + off, 0, max_pairs - 1)
+    keep = off < counts[t_of]
+    feats_pad = jnp.where(keep[:, None], cols[src], 0.0)
+
+    return _pack8(feats_pad), pbounds, n_dropped
 
 
 # ---------------------------------------------------------------------------
@@ -150,10 +205,10 @@ def _fwd_kernel(bounds_ref, feats_hbm, out_ref, buf, sem, *, tw):
     def body(c):
         i, T, cr, cg, cb_, cd = c
         cp = pltpu.make_async_copy(
-            feats_hbm.at[pl.ds(start + i * CK, CK), :], buf, sem)
+            feats_hbm.at[pl.ds((start + i * CK) // 8, CK // 8), :], buf, sem)
         cp.start()
         cp.wait()
-        f = buf[...]
+        f = _kernel_unpack(buf[...])
         alpha0, *_ = _chunk_alpha(f, px, py, count - i * CK)
         lg0 = jnp.log(1.0 - alpha0)
         tat = T * jnp.exp(jax.lax.dot(tri, lg0, preferred_element_type=jnp.float32))
@@ -178,11 +233,11 @@ def _composite_fwd_impl(feats, bounds, *, n_tiles, tw):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, 8, NPIX), lambda t, *_: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((CK, NFEAT), jnp.float32),
+            pltpu.VMEM((CK // 8, 8 * NFEAT), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -215,10 +270,10 @@ def _bwd_kernel(bounds_ref, feats_hbm, gout_ref, dfeats_hbm, buf, gbuf, sem,
 
     def load(i):
         cp = pltpu.make_async_copy(
-            feats_hbm.at[pl.ds(start + i * CK, CK), :], buf, sem)
+            feats_hbm.at[pl.ds((start + i * CK) // 8, CK // 8), :], buf, sem)
         cp.start()
         cp.wait()
-        return buf[...]
+        return _kernel_unpack(buf[...])
 
     # ---- sweep 1: total sum of w*G and final T ----------------------------
     def body1(c):
@@ -283,11 +338,12 @@ def _bwd_kernel(bounds_ref, feats_hbm, gout_ref, dfeats_hbm, buf, gbuf, sem,
         db = rsum(w * g_b)
         dd = rsum(w * g_d)
         zc = jnp.zeros((CK, 1), jnp.float32)
-        gbuf[...] = jnp.concatenate(
+        grads = jnp.concatenate(
             [dmux, dmuy, dca, dcb, dcc, dop, dr, dg, db, dd,
              zc, zc, zc, zc, zc, zc], axis=1)
+        gbuf[...] = _kernel_pack(grads)
         cp = pltpu.make_async_copy(
-            gbuf, dfeats_hbm.at[pl.ds(start + i * CK, CK), :], wsem)
+            gbuf, dfeats_hbm.at[pl.ds((start + i * CK) // 8, CK // 8), :], wsem)
         cp.start()
         cp.wait()
         cum = cum + jnp.sum(wG, axis=0, keepdims=True)
@@ -308,14 +364,14 @@ def _composite_bwd_impl(feats, bounds, gout, *, n_tiles, tw):
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 8, NPIX), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((CK, NFEAT), jnp.float32),
-            pltpu.VMEM((CK, NFEAT), jnp.float32),
+            pltpu.VMEM((CK // 8, 8 * NFEAT), jnp.float32),
+            pltpu.VMEM((CK // 8, 8 * NFEAT), jnp.float32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
@@ -347,11 +403,10 @@ def _ct_fwd(feats, bounds, n_tiles, tw):
 def _ct_bwd(n_tiles, tw, res, gout):
     feats, bounds = res
     dfeats = _composite_bwd_impl(feats, bounds, gout, n_tiles=n_tiles, tw=tw)
-    # rows past the last valid pair (overflow bin + padding) were never
-    # visited by any tile's sweep: zero them.
-    nvalid = bounds[n_tiles]
+    # packed rows past the last padded segment were never visited: zero them.
+    nvalid_rows = bounds[n_tiles] // 8
     row = jnp.arange(feats.shape[0], dtype=jnp.int32)[:, None]
-    dfeats = jnp.where(row < nvalid, dfeats, 0.0)
+    dfeats = jnp.where(row < nvalid_rows, dfeats, 0.0)
     return dfeats, None
 
 

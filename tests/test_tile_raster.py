@@ -1,0 +1,114 @@
+"""Pallas tile rasterizer vs the XLA sort+scan path: forward + gradients.
+
+Runs in Pallas interpret mode on CPU; the TPU path compiles the same kernel
+bodies (benched separately in scripts/gsbench.py)."""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mudg_tpu.gs import rasterize as R
+from mudg_tpu.gs import tile_raster as TR
+from mudg_tpu.gs.gaussians import Gaussians, init_from_points
+
+
+def _scene(n=300, seed=0, spread=4.0):
+    rng = np.random.default_rng(seed)
+    xyz = rng.normal(0, spread, (n, 3)).astype(np.float32) + [0, 0, 10.0]
+    # keep every point safely in front of the camera: behind-camera gaussians
+    # produce inf/nan projections whose grads are masked but poison a
+    # max-based tolerance scale
+    xyz[:, 2] = np.clip(xyz[:, 2], 2.0, 25.0)
+    rgb = rng.random((n, 3)).astype(np.float32)
+    g = init_from_points(jnp.asarray(xyz), jnp.asarray(rgb), opacity=0.35)
+    K = jnp.asarray([[60.0, 0, 48.0], [0, 60.0, 32.0], [0, 0, 1]])
+    w2c = jnp.eye(4)
+    return g, K, w2c
+
+
+WIDTH, HEIGHT = 96, 64
+
+
+def test_forward_matches_xla_path():
+    g, K, w2c = _scene()
+    ref = R.rasterize(g, K, w2c, width=WIDTH, height=HEIGHT,
+                      max_per_tile=512, tiles_per_gaussian=36)
+    out = TR.rasterize_pallas(g, K, w2c, width=WIDTH, height=HEIGHT,
+                              max_pairs=8192)
+    assert int(ref.n_dropped) == 0 and int(out.n_dropped) == 0
+    np.testing.assert_allclose(np.asarray(out.color), np.asarray(ref.color),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out.depth), np.asarray(ref.depth),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out.alpha), np.asarray(ref.alpha),
+                               atol=2e-5)
+    # scene actually renders something
+    assert float(jnp.max(out.alpha)) > 0.2
+
+
+def test_forward_dense_occlusion():
+    """Many overlapping opaque gaussians -> exercises the T<=T_MIN saturation
+    path and multi-chunk tiles."""
+    g, K, w2c = _scene(n=600, spread=0.8)
+    g = g._replace(opacity=jnp.full_like(g.opacity, 3.0))  # sigmoid ~0.95
+    ref = R.rasterize(g, K, w2c, width=WIDTH, height=HEIGHT,
+                      max_per_tile=1024, tiles_per_gaussian=64)
+    out = TR.rasterize_pallas(g, K, w2c, width=WIDTH, height=HEIGHT,
+                              max_pairs=1 << 15)
+    assert int(ref.n_dropped) == 0 and int(out.n_dropped) == 0
+    np.testing.assert_allclose(np.asarray(out.color), np.asarray(ref.color),
+                               atol=5e-5)
+    np.testing.assert_allclose(np.asarray(out.alpha), np.asarray(ref.alpha),
+                               atol=5e-5)
+
+
+def test_gradients_match_xla_path():
+    g, K, w2c = _scene(n=150)
+    target = jnp.zeros((HEIGHT, WIDTH, 3)) + 0.25
+
+    def loss_with(raster):
+        def loss(means, log_scales, quats, opacity, colors):
+            gg = Gaussians(means, log_scales, quats, opacity, colors, g.active)
+            if raster == "xla":
+                out = R.rasterize(gg, K, w2c, width=WIDTH, height=HEIGHT,
+                                  max_per_tile=512, tiles_per_gaussian=36)
+            else:
+                out = TR.rasterize_pallas(gg, K, w2c, width=WIDTH,
+                                          height=HEIGHT, max_pairs=8192)
+            return jnp.mean((out.color - target) ** 2) + 0.1 * jnp.mean(out.alpha)
+        return loss
+
+    args = (g.means, g.log_scales, g.quats, g.opacity, g.colors)
+    g_ref = jax.grad(loss_with("xla"), argnums=tuple(range(5)))(*args)
+    g_out = jax.grad(loss_with("pallas"), argnums=tuple(range(5)))(*args)
+    names = ["means", "log_scales", "quats", "opacity", "colors"]
+    for name, a, b in zip(names, g_out, g_ref):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(b).max() + 1e-8
+        np.testing.assert_allclose(
+            a, b, atol=2e-3 * scale,
+            err_msg=f"grad mismatch for {name}")
+
+
+def test_overflow_reported_not_silent():
+    g, K, w2c = _scene(n=400)
+    out = TR.rasterize_pallas(g, K, w2c, width=WIDTH, height=HEIGHT,
+                              max_pairs=256)
+    assert int(out.n_dropped) > 0
+
+
+def test_no_per_gaussian_tile_cap():
+    """A giant gaussian covering every tile renders without truncation (the
+    XLA path would clip it at tiles_per_gaussian)."""
+    xyz = jnp.asarray([[0.0, 0.0, 4.0]])
+    rgb = jnp.asarray([[1.0, 0.5, 0.25]])
+    g = init_from_points(xyz, rgb, opacity=0.9, init_scale=3.0)
+    K = jnp.asarray([[40.0, 0, 48.0], [0, 40.0, 32.0], [0, 0, 1]])
+    out = TR.rasterize_pallas(g, K, jnp.eye(4), width=WIDTH, height=HEIGHT,
+                              max_pairs=1024)
+    alpha = np.asarray(out.alpha)
+    assert int(out.n_dropped) == 0
+    # covers the whole image, not just a 4x4-tile window around the center
+    assert alpha[0, 0] > 0.05 and alpha[-1, -1] > 0.05 and alpha.min() > 0.0
