@@ -71,16 +71,32 @@ def _unpack8(f8):
     )
 
 
+def _lane_roll(x, shift):
+    """Rotate lanes; Mosaic needs the dedicated roll op (a plain shifted
+    slice leaves mismatched lane offsets that concat can't reconcile)."""
+    if _interpret():
+        return jnp.roll(x, shift, axis=1)
+    return pltpu.roll(x, shift % x.shape[1], 1)  # pltpu.roll wants shift >= 0
+
+
 def _kernel_unpack(buf8):
-    """(16, 128) chunk -> (CK, NFEAT) in depth order (inverse of _pack8)."""
-    return jnp.concatenate(
-        [buf8[:, k * NFEAT:(k + 1) * NFEAT] for k in range(8)], axis=0)
+    """(16, 128) chunk -> (CK, NFEAT) in depth order (inverse of _pack8).
+    Each 16-lane group is rotated to lane offset 0 before the sublane
+    concat so all parts share one layout."""
+    parts = [buf8[:, :NFEAT]]
+    for k in range(1, 8):
+        parts.append(_lane_roll(buf8, -k * NFEAT)[:, :NFEAT])
+    return jnp.concatenate(parts, axis=0)
 
 
 def _kernel_pack(g):
-    """(CK, NFEAT) -> (16, 128), inverse of _kernel_unpack."""
-    return jnp.concatenate(
-        [g[k * 16:(k + 1) * 16, :] for k in range(8)], axis=1)
+    """(CK, NFEAT) -> (16, 128), inverse of _kernel_unpack: lane-pad each
+    16-row slab to 128 lanes, rotate into place, sum."""
+    out = jnp.pad(g[0:16, :], ((0, 0), (0, 128 - NFEAT)))
+    for k in range(1, 8):
+        part = jnp.pad(g[k * 16:(k + 1) * 16, :], ((0, 0), (0, 128 - NFEAT)))
+        out = out + _lane_roll(part, k * NFEAT)
+    return out
 
 
 def build_pairs(proj, colors, *, width: int, height: int, max_pairs: int):
@@ -100,11 +116,18 @@ def build_pairs(proj, colors, *, width: int, height: int, max_pairs: int):
     total = offsets[-1]
     n_dropped = jnp.maximum(total - max_pairs, 0)
 
-    # pair slot j -> owning gaussian (searchsorted over inclusive cumsum)
+    # pair slot j -> owning gaussian. scatter each gaussian's id at its
+    # segment start + cummax (a searchsorted here costs ~570 ms at 4M slots
+    # on v5e — XLA lowers it to a per-iteration gather binary search)
     slot = jnp.arange(max_pairs, dtype=jnp.int32)
-    gi = jnp.searchsorted(offsets, slot, side="right").astype(jnp.int32)
-    gi = jnp.minimum(gi, proj.means2d.shape[0] - 1)
-    local = slot - jnp.where(gi > 0, offsets[gi - 1], 0)
+    starts_excl = offsets - span                     # exclusive starts
+    mark = jnp.full((max_pairs,), -1, jnp.int32)
+    src_ids = jnp.arange(span.shape[0], dtype=jnp.int32)
+    scat_at = jnp.where((span > 0) & (starts_excl < max_pairs),
+                        starts_excl, max_pairs)      # OOB drops
+    mark = mark.at[scat_at].max(src_ids, mode="drop")
+    gi = jnp.maximum(jax.lax.cummax(mark), 0)
+    local = slot - starts_excl[gi]
     valid = slot < total
 
     sx = local % jnp.maximum(x1[gi] - x0[gi] + 1, 1)
@@ -118,38 +141,37 @@ def build_pairs(proj, colors, *, width: int, height: int, max_pairs: int):
     gi_s = gi[order]
     tile_s = tile_id[order]
 
-    cols = jnp.stack([
-        proj.means2d[gi_s, 0], proj.means2d[gi_s, 1],
-        proj.conics[gi_s, 0], proj.conics[gi_s, 1], proj.conics[gi_s, 2],
-        proj.opacities[gi_s],
-        colors[gi_s, 0], colors[gi_s, 1], colors[gi_s, 2],
-        proj.depths[gi_s],
-        jnp.zeros((max_pairs,)), jnp.zeros((max_pairs,)),
-        jnp.zeros((max_pairs,)), jnp.zeros((max_pairs,)),
-        jnp.zeros((max_pairs,)), jnp.zeros((max_pairs,)),
-    ], axis=-1).astype(jnp.float32)
-    # zero out invalid (overflow-bin) rows so a padded segment never sees them
-    in_valid = (jnp.arange(max_pairs) < total)[order]
-    cols = jnp.where(in_valid[:, None], cols, 0.0)
-
     bounds = jnp.searchsorted(
         tile_s, jnp.arange(n_tiles + 1, dtype=jnp.int32)
     ).astype(jnp.int32)
 
     # pad every tile segment to a CK multiple (DMA chunks must align with the
-    # 128-pair packing groups); static capacity covers worst-case padding
+    # 128-pair packing groups). Padded slot -> tile via scatter+cummax (row
+    # SCATTERS of the pair table measured 8x worse than this gather form;
+    # searchsorted over millions of queries costs ~570 ms — avoid both).
     counts = bounds[1:] - bounds[:-1]
     pcounts = ((counts + CK - 1) // CK) * CK
     pbounds = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(pcounts).astype(jnp.int32)])
     p_pad = max_pairs + n_tiles * CK
-    slot = jnp.arange(p_pad, dtype=jnp.int32)
-    t_of = (jnp.searchsorted(pbounds, slot, side="right") - 1).astype(jnp.int32)
-    t_of = jnp.clip(t_of, 0, n_tiles - 1)
-    off = slot - pbounds[t_of]
+    slot_pad = jnp.arange(p_pad, dtype=jnp.int32)
+    tmark = jnp.full((p_pad,), 0, jnp.int32)
+    tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
+    tmark = tmark.at[jnp.where(pcounts > 0, pbounds[:-1], p_pad)].max(
+        tile_ids, mode="drop")
+    t_of = jax.lax.cummax(tmark)
+    off = slot_pad - pbounds[t_of]
     src = jnp.clip(bounds[t_of] + off, 0, max_pairs - 1)
     keep = off < counts[t_of]
-    feats_pad = jnp.where(keep[:, None], cols[src], 0.0)
+    gp = jnp.where(keep, gi_s[src], 0)
+
+    # one row-gather from a small per-gaussian feature table
+    table = jnp.concatenate([
+        proj.means2d, proj.conics, proj.opacities[:, None], colors,
+        proj.depths[:, None],
+        jnp.zeros((proj.depths.shape[0], NFEAT - 10), jnp.float32),
+    ], axis=1).astype(jnp.float32)
+    feats_pad = jnp.where(keep[:, None], table[gp], 0.0)
 
     return _pack8(feats_pad), pbounds, n_dropped
 

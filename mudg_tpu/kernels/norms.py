@@ -11,6 +11,13 @@ Forward-only Pallas; the backward falls back to autodiff of the pure-JAX
 reference implementation via custom_vjp (training pays the old cost on the
 backward pass only; inference gets the full win).
 
+STATUS (kept deliberately, round-2 decision): measured ~3% SLOWER end-to-end
+than XLA's own fusion on v5e (docs/STATE.md), so these stay opt-in behind
+MUDG_FUSED_NORMS=1. They remain in-tree as working infrastructure for future
+hardware generations and as the documented negative result that stops the
+experiment from being redone. Note the round-2 group_norm layout fix
+(nn/functional.py) removed the relayout copies that motivated this kernel.
+
 Used automatically by nn/functional when shapes fit the VMEM budget; exact
 fallback otherwise.
 """

@@ -127,7 +127,7 @@ def main():
             except Exception as e:
                 print(f"s={s} oneshot bq={bq}: FAIL {type(e).__name__}", flush=True)
 
-        for bq in (512, 1024):
+        for bq in (512, 1024, 2560):
             for bk in (512, 1280, 2560):
                 if s % bq or s % bk or bk > s:
                     continue
