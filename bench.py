@@ -103,7 +103,11 @@ def main():
         "unit": "s/clip (16f 320x512, 25-step DDIM, 2pt-CFG, bf16, 1 chip)",
         "vs_baseline": round(10.0 / p50, 3),
     }
-    psnr = _psnr_vs_torch_oracle(log)
+    try:
+        psnr = _psnr_vs_torch_oracle(log)
+    except Exception as e:  # quality canary must never sink the bench
+        log(f"psnr oracle failed: {type(e).__name__}: {e}")
+        psnr = None
     if psnr is not None:
         result["quality_psnr_vs_torch_oracle_db"] = round(psnr, 2)
     print(json.dumps(result))

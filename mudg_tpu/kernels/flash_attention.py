@@ -73,14 +73,54 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k, seq_k):
     lse_ref[0] = m + jnp.log(l)  # (BQ, 1)
 
 
+def _oneshot_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale):
+    """Whole-KV variant: when K/V fit VMEM, a plain softmax (no online
+    rescale carry) is ~15% faster than the blocked loop (scripts/flashtune.py:
+    4.00 vs 4.73 ms at s=2560 d=64)."""
+    q = q_ref[0]
+    s = scale * jax.lax.dot_general(
+        q, k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot(p.astype(v_ref.dtype), v_ref[0],
+                    preferred_element_type=jnp.float32)
+    o_ref[0] = (o / l).astype(o_ref.dtype)
+    lse_ref[0] = m + jnp.log(l)
+
+
 def _flash_fwd(q, k, v):
     """q,k,v: (BH, L, D) -> (o, lse)."""
     bh, lq, d = q.shape
     lk = k.shape[1]
     scale = d**-0.5
-    bq = _pick_block(lq)
+    oneshot = lk <= 4096
+    bq = _pick_block(lq, (256, 512, 128, 64) if oneshot else (512, 256, 128, 64))
     bk = _pick_block(lk, (1024, 512, 256, 128, 64))
     assert bq and bk, f"flash attention needs divisible seq lens, got {lq}, {lk}"
+
+    if oneshot:
+        grid = (bh, lq // bq)
+        o, lse = pl.pallas_call(
+            functools.partial(_oneshot_kernel, scale=scale),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, lk, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, lk, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bq, 1), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct(q.shape, q.dtype),
+                jax.ShapeDtypeStruct((bh, lq, 1), jnp.float32),
+            ),
+            interpret=_interpret(),
+        )(q, k, v)
+        return o, lse
 
     grid = (bh, lq // bq)
     out_shapes = (

@@ -26,7 +26,9 @@ from . import functional as F
 
 # Flash kernel threshold: below this sequence length a dense XLA attention is
 # both faster (no pipeline overhead) and exactly fuses with surrounding ops.
-FLASH_MIN_SEQ = 1024
+# With the whole-KV oneshot kernel, flash wins already at s=640 (1.10 vs
+# 1.48 ms dense, scripts/attnbench.py).
+FLASH_MIN_SEQ = 512
 
 
 def _flash_available():
