@@ -81,7 +81,12 @@ def geglu_ff_eligible(x, w1) -> bool:
         m *= d
     c = x.shape[-1]
     inner = w1.shape[1] // 2
-    return c % 8 == 0 and inner % 128 == 0 and m % 256 == 0
+    # bf16-only: f32 activations double every VMEM buffer and blow the
+    # scoped-vmem limit at C=1280 (seen in the training path).
+    return (
+        x.dtype == jnp.bfloat16
+        and c % 8 == 0 and inner % 128 == 0 and m % 256 == 0
+    )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
@@ -99,7 +104,9 @@ def _ff_apply(x, w1, b1, w2, b2):
 
     s = _pick_chunk(inner)
     n_ic = inner // s
-    bm = 512
+    # bm=512 at C=1280 overflows scoped VMEM (18.4M > 16M with Mosaic's
+    # double-buffered weight blocks); 256 keeps the widest stage under limit
+    bm = 512 if c < 1024 else 256
     while m % bm:
         bm //= 2
 

@@ -155,6 +155,7 @@ def denoise(params, cfg: MDMConfig, z_noisy, t, c_concat, context, class_label,
 def training_loss(
     params, cfg: MDMConfig, sched_arrays: Mapping[str, jnp.ndarray], batch,
     rng, *, null_tokens, train_unet=True, impl="auto", remat=True,
+    compute_dtype=jnp.bfloat16,
 ):
     """shared_step/p_losses for the MDM (ddpm3d.py:1056-1149, 741-788).
 
@@ -222,10 +223,17 @@ def training_loss(
     z_noisy = D.q_sample(z, t, noise, sa, soma)
     target = D.get_v(z, noise, t, sa, soma)
 
+    # mixed precision: UNet forward/backward in compute_dtype (the reference
+    # trains fp16 AMP, main/trainer config precision:16); q_sample/target
+    # algebra and the loss stay f32. Params are f32 masters — functional
+    # layers cast weights to the activation dtype at application.
     v_pred = denoise(
-        params, cfg, z_noisy, t, c_concat, context, batch["class_label"],
+        params, cfg, z_noisy.astype(compute_dtype), t,
+        c_concat.astype(compute_dtype), context.astype(compute_dtype),
+        batch["class_label"],
         fs=batch.get("fps"), impl=impl, remat=remat, drop_rng=keys[5],
-    )
+    ).astype(jnp.float32)
+    target = target.astype(jnp.float32)
     loss_simple = jnp.mean((v_pred - target) ** 2, axis=(1, 2, 3, 4))
     loss = cfg.l_simple_weight * jnp.mean(loss_simple)
     if cfg.original_elbo_weight > 0:

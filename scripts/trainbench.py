@@ -17,16 +17,18 @@ from mudg_tpu.models import mdm as M
 from mudg_tpu.train import step as TS
 
 
-def main(bs=1, remat=True):
+def main(bs=1, remat=True, grad_only=False):
     cfg = M.MDMConfig()
     print("# init params (abstract)", flush=True)
     shapes = jax.eval_shape(lambda k: M.init_mdm(k, cfg), jax.random.PRNGKey(0))
-    params = jax.tree.map(lambda s: jnp.full(s.shape, 0.01, jnp.float32), shapes)
+    dt = jnp.bfloat16 if grad_only else jnp.float32
+    params = jax.tree.map(lambda s: jnp.full(s.shape, 0.01, dt), shapes)
 
     tc = TS.TrainConfig(accum_steps=1, learning_rate=1e-5)
     trainable, frozen = TS.split_params(params)
-    state = TS.init_train_state(params, tc)
-    del params
+    if not grad_only:
+        state = TS.init_train_state(params, tc)
+        del params
 
     t, hh, ww = 16, 320, 512
     key = jax.random.PRNGKey(1)
@@ -40,6 +42,40 @@ def main(bs=1, remat=True):
     }
     sched_arrays = M.schedule_arrays(cfg.schedule())
     null_tokens = jnp.zeros((77,), jnp.int32)
+
+    if grad_only:
+        # fwd + bwd only: one chip can't hold full f32 Adam state for 1.44B
+        # params (that's what the 8-chip ZeRO layout is for). Timing-wise the
+        # optimizer update is a small bandwidth pass on top of this.
+        def loss_fn(tr, batch, key):
+            p = TS.merge_params(tr, frozen)
+            loss, _ = M.training_loss(
+                p, cfg, sched_arrays, batch, key,
+                null_tokens=null_tokens, impl="auto", remat=remat)
+            return loss
+
+        @jax.jit
+        def gstep(tr, batch, key):
+            loss, grads = jax.value_and_grad(loss_fn)(tr, batch, key)
+            return loss, jax.tree.map(lambda g: jnp.sum(jnp.abs(g)), grads)
+
+        print("# compiling grad step", flush=True)
+        t0 = time.perf_counter()
+        loss, _ = gstep(trainable, batch, jax.random.PRNGKey(2))
+        print(f"# compile+1st: {time.perf_counter()-t0:.1f}s loss={float(loss):.4f}",
+              flush=True)
+        ts = []
+        for i in range(4):
+            t0 = time.perf_counter()
+            loss, _ = gstep(trainable, batch, jax.random.PRNGKey(3 + i))
+            _ = float(loss)
+            ts.append(time.perf_counter() - t0)
+        per = min(ts)
+        print(f"fwd+bwd bs={bs} remat={remat}: {per*1e3:.0f} ms "
+              f"({bs/per:.2f} clips/s/chip; ref stage-1: 21.3 clips/s on "
+              f"8 GPUs = 2.7/GPU)", flush=True)
+        return
+
     step = TS.make_train_step(cfg, tc, frozen, sched_arrays, null_tokens,
                               impl="auto", remat=remat, donate=True)
 
@@ -66,5 +102,6 @@ if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--bs", type=int, default=1)
     p.add_argument("--no_remat", action="store_true")
+    p.add_argument("--grad_only", action="store_true")
     a = p.parse_args()
-    main(bs=a.bs, remat=not a.no_remat)
+    main(bs=a.bs, remat=not a.no_remat, grad_only=a.grad_only)
