@@ -138,14 +138,14 @@ def make_train_step(
     """
     opt = make_optimizer(tc)
 
-    def loss_fn(trainable, batch, rng):
-        params = merge_params(trainable, frozen_params)
+    def loss_fn(trainable, frozen, batch, rng):
+        params = merge_params(trainable, frozen)
         return M.training_loss(
             params, cfg, sched_arrays, batch, rng,
             null_tokens=null_tokens, impl=impl, remat=remat,
         )
 
-    def step_fn(state: TrainState, batch, rng):
+    def step_fn(frozen, state: TrainState, batch, rng):
         if tc.accum_steps > 1:
             keys = jax.random.split(rng, tc.accum_steps)
 
@@ -153,7 +153,7 @@ def make_train_step(
                 grads_acc, loss_acc = carry
                 mb, k = xs
                 (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                    state.params, mb, k
+                    state.params, frozen, mb, k
                 )
                 grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
                 return (grads_acc, loss_acc + loss), None
@@ -166,7 +166,7 @@ def make_train_step(
             loss = loss / tc.accum_steps
         else:
             (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params, batch, rng
+                state.params, frozen, batch, rng
             )
 
         if grad_mask is not None:
@@ -182,5 +182,14 @@ def make_train_step(
         new_state = TrainState(params, opt_state, ema, state.step + 1)
         return new_state, {"loss": loss, "grad_norm": gnorm}
 
-    donate_args = (0,) if donate else ()
-    return jax.jit(step_fn, donate_argnums=donate_args)
+    # frozen params ride as a jit ARGUMENT: closure capture bakes the 2-3 GB
+    # frozen tower weights into the executable as constants and roughly
+    # doubles compile time (CLAUDE.md / round-1 finding; observed again via
+    # the captured-constants warning in scripts/trainbench.py).
+    donate_args = (1,) if donate else ()
+    jitted = jax.jit(step_fn, donate_argnums=donate_args)
+
+    def run(state, batch, rng):
+        return jitted(frozen_params, state, batch, rng)
+
+    return run

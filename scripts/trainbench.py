@@ -47,27 +47,27 @@ def main(bs=1, remat=True, grad_only=False):
         # fwd + bwd only: one chip can't hold full f32 Adam state for 1.44B
         # params (that's what the 8-chip ZeRO layout is for). Timing-wise the
         # optimizer update is a small bandwidth pass on top of this.
-        def loss_fn(tr, batch, key):
-            p = TS.merge_params(tr, frozen)
+        def loss_fn(tr, fz, batch, key):
+            p = TS.merge_params(tr, fz)
             loss, _ = M.training_loss(
                 p, cfg, sched_arrays, batch, key,
                 null_tokens=null_tokens, impl="auto", remat=remat)
             return loss
 
         @jax.jit
-        def gstep(tr, batch, key):
-            loss, grads = jax.value_and_grad(loss_fn)(tr, batch, key)
+        def gstep(tr, fz, batch, key):  # frozen as ARG, not closure (3GB!)
+            loss, grads = jax.value_and_grad(loss_fn)(tr, fz, batch, key)
             return loss, jax.tree.map(lambda g: jnp.sum(jnp.abs(g)), grads)
 
         print("# compiling grad step", flush=True)
         t0 = time.perf_counter()
-        loss, _ = gstep(trainable, batch, jax.random.PRNGKey(2))
+        loss, _ = gstep(trainable, frozen, batch, jax.random.PRNGKey(2))
         print(f"# compile+1st: {time.perf_counter()-t0:.1f}s loss={float(loss):.4f}",
               flush=True)
         ts = []
         for i in range(4):
             t0 = time.perf_counter()
-            loss, _ = gstep(trainable, batch, jax.random.PRNGKey(3 + i))
+            loss, _ = gstep(trainable, frozen, batch, jax.random.PRNGKey(3 + i))
             _ = float(loss)
             ts.append(time.perf_counter() - t0)
         per = min(ts)
