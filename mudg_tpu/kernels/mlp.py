@@ -103,10 +103,15 @@ def _ff_apply(x, w1, b1, w2, b2):
     inner = w1.shape[1] // 2
 
     s = _pick_chunk(inner)
+    # bm=512 / s>512 at C=1280 overflow the 16M scoped-VMEM limit once
+    # Mosaic double-buffers the weight blocks (measured: 18.4M at bm=512,
+    # 16.25M at bm=256/s=640); bm=256 + s<=512 stays comfortably under.
+    bm = 512
+    if c >= 1024:
+        bm = 256
+        while s > 512 or inner % s:
+            s //= 2
     n_ic = inner // s
-    # bm=512 at C=1280 overflows scoped VMEM (18.4M > 16M with Mosaic's
-    # double-buffered weight blocks); 256 keeps the widest stage under limit
-    bm = 512 if c < 1024 else 256
     while m % bm:
         bm //= 2
 

@@ -84,7 +84,10 @@ def test_fused_geglu_matches_math(m, c):
     b1 = jax.random.normal(ks[2], (2 * inner,), jnp.float32) * 0.1
     w2 = jax.random.normal(ks[3], (inner, c), jnp.float32) * (inner ** -0.5)
     b2 = jax.random.normal(ks[4], (c,), jnp.float32) * 0.1
-    assert geglu_ff_eligible(x, w1)
+    # production eligibility is bf16-only (VMEM envelope); the kernel body
+    # itself is dtype-generic, so numerics are checked in f32
+    assert geglu_ff_eligible(x.astype(jnp.bfloat16), w1)
+    assert not geglu_ff_eligible(x, w1)
     out = fused_geglu_ff(x, w1, b1, w2, b2)
     ref = _ff_math(x, w1, b1, w2, b2)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
