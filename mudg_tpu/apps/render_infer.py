@@ -72,6 +72,9 @@ def main(argv=None):
     p.add_argument("--timestep_spacing", default="uniform_trailing")
     p.add_argument("--fps", type=int, default=10)
     p.add_argument("--prompt", default="A photo a of driving scene.")
+    p.add_argument("--task_serial", action="store_true",
+                   help="run the 3 tasks as separate UNet batches "
+                        "(fits a single 16G chip at full resolution)")
     p.add_argument("--seed", type=int, default=123)
     p.add_argument("--max_windows", type=int, default=None)
     p.add_argument("--preset", default="mdm512",
@@ -153,11 +156,24 @@ def main(argv=None):
         )
 
         rng, key = jax.random.split(rng)
-        out = sample_fn(
-            params, tokens, null_tokens, key,
-            jnp.asarray(sparse_b), jnp.asarray(depth_b), jnp.asarray(labels),
-        )
-        out = np.asarray(out)  # (3, T, H, W, 3) in [-1,1]
+        if args.task_serial:
+            # memory-saving mode: one UNet batch per task (the 3-task batch
+            # at full 320x512 exceeds a single 16G chip's HBM; batching is
+            # the default on pods where it rides the batch sharding)
+            outs = []
+            for ti in range(len(TASKS)):
+                outs.append(np.asarray(sample_fn(
+                    params, tokens[ti : ti + 1], null_tokens, key,
+                    jnp.asarray(sparse_b[ti : ti + 1]),
+                    jnp.asarray(depth_b[ti : ti + 1]),
+                    jnp.asarray(labels[ti : ti + 1]),
+                )))
+            out = np.concatenate(outs, axis=0)
+        else:
+            out = np.asarray(sample_fn(
+                params, tokens, null_tokens, key,
+                jnp.asarray(sparse_b), jnp.asarray(depth_b), jnp.asarray(labels),
+            ))  # (3, T, H, W, 3) in [-1,1]
 
         for ti, task in enumerate(TASKS):
             video = out[ti]

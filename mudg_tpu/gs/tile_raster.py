@@ -211,6 +211,12 @@ def _chunk_alpha(f, px, py, nrem):
     return alpha, power, g2d, dx, dy
 
 
+def _chunk_copy(feats_hbm, buf, sem, start, i):
+    return pltpu.make_async_copy(
+        feats_hbm.at[pl.ds((start + i * CK) // 8, CK // 8), :],
+        buf.at[i % 2], sem.at[i % 2])
+
+
 def _fwd_kernel(bounds_ref, feats_hbm, out_ref, buf, sem, *, tw):
     t = pl.program_id(0)
     start = bounds_ref[t]
@@ -220,17 +226,23 @@ def _fwd_kernel(bounds_ref, feats_hbm, out_ref, buf, sem, *, tw):
 
     nck = (count + CK - 1) // CK
 
+    @pl.when(nck > 0)
+    def _prefetch0():
+        _chunk_copy(feats_hbm, buf, sem, start, 0).start()
+
     def cond(c):
         i, T, *_ = c
         return (i < nck) & (jnp.max(T) > T_MIN)
 
     def body(c):
         i, T, cr, cg, cb_, cd = c
-        cp = pltpu.make_async_copy(
-            feats_hbm.at[pl.ds((start + i * CK) // 8, CK // 8), :], buf, sem)
-        cp.start()
-        cp.wait()
-        f = _kernel_unpack(buf[...])
+
+        @pl.when(i + 1 < nck)
+        def _prefetch_next():  # overlap the next chunk's DMA with compute
+            _chunk_copy(feats_hbm, buf, sem, start, i + 1).start()
+
+        _chunk_copy(feats_hbm, buf, sem, start, i).wait()
+        f = _kernel_unpack(buf[i % 2])
         alpha0, *_ = _chunk_alpha(f, px, py, count - i * CK)
         lg0 = jnp.log(1.0 - alpha0)
         tat = T * jnp.exp(jax.lax.dot(tri, lg0, preferred_element_type=jnp.float32))
@@ -245,7 +257,11 @@ def _fwd_kernel(bounds_ref, feats_hbm, out_ref, buf, sem, *, tw):
 
     z = jnp.zeros((1, NPIX), jnp.float32)
     init = (jnp.int32(0), jnp.ones((1, NPIX), jnp.float32), z, z, z, z)
-    _, T, cr, cg, cb_, cd = jax.lax.while_loop(cond, body, init)
+    i_end, T, cr, cg, cb_, cd = jax.lax.while_loop(cond, body, init)
+
+    @pl.when(i_end < nck)
+    def _drain():  # early exit leaves the prefetched chunk in flight
+        _chunk_copy(feats_hbm, buf, sem, start, i_end).wait()
 
     out_ref[0] = jnp.concatenate(
         [cr, cg, cb_, cd, T, z, z, z], axis=0)  # (8, NPIX)
@@ -259,8 +275,8 @@ def _composite_fwd_impl(feats, bounds, *, n_tiles, tw):
         out_specs=pl.BlockSpec((1, 8, NPIX), lambda t, *_: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((CK // 8, 8 * NFEAT), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, CK // 8, 8 * NFEAT), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
