@@ -67,8 +67,22 @@ def attend(q, k, v, *, bias=None, causal=False, impl="auto"):
         from ..kernels.flash_attention import flash_attention
         return flash_attention(q, k, v)
 
+    # Tiny equal-length self-attention (temporal T=16): pack 128//T sequences
+    # into one 128-row block-diagonal attention in PLAIN XLA — bit-exact and
+    # 26% faster than the batched tiny-matmul einsum (0.94 vs 1.27 ms at the
+    # ds1 shape; /tmp-probe recorded in docs/STATE.md). The MXU sees
+    # (128, D) @ (D, 128) instead of 16x16 tiles.
+    if (
+        bias is None and not causal and impl == "auto"
+        and jax.default_backend() == "tpu"
+        and q.shape[1] == k.shape[1] == v.shape[1]
+        and q.shape[1] <= 64 and 128 % q.shape[1] == 0
+        and (q.shape[0] * q.shape[2] * q.shape[1]) % 128 == 0
+    ):
+        return _blockdiag_small_attend(q, k, v, scale)
+
     # NEGATIVE RESULT (v5e, don't redo blindly): the Pallas short-sequence
-    # kernels (kernels/short_attention.py) measured SLOWER than this dense
+    # kernels (kernels/short_attention.py) measured SLOWER than the dense
     # XLA path at the UNet shapes — packed temporal 1.77 vs 1.28 ms, short-KV
     # cross 0.71 vs 0.45 ms (fold/unfold transposes + per-pack loop overhead
     # eat the MXU gain; scripts/kernelbench.py). Opt-in via MUDG_SHORT_ATTN=1
@@ -79,8 +93,6 @@ def attend(q, k, v, *, bias=None, causal=False, impl="auto"):
     ):
         from ..kernels import short_attention as SA
 
-        if q.shape[1] == k.shape[1] and SA.packed_short_attention_eligible(q):
-            return SA.packed_short_attention(q, k, v)
         if SA.short_kv_attention_eligible(q, k):
             return SA.short_kv_attention(q, k, v)
 
@@ -98,6 +110,28 @@ def attend(q, k, v, *, bias=None, causal=False, impl="auto"):
         logits = jnp.where(mask, logits, jnp.finfo(logits.dtype).min)
     probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
     return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+
+def _blockdiag_small_attend(q, k, v, scale):
+    """Self-attention over tiny equal-length sequences via 128-row
+    block-diagonal packing (128//T sequences per slab, off-diagonal TxT
+    blocks masked). Exactly equal to the per-sequence softmax."""
+    b, t, h, d = q.shape
+    g = 128 // t
+    nb = b * h // g
+
+    def fold(x):
+        return x.transpose(0, 2, 1, 3).reshape(nb, g * t, x.shape[-1])
+
+    qf, kf, vf = fold(q), fold(k), fold(v)
+    s = jnp.einsum("bqd,bkd->bqk", qf, kf,
+                   preferred_element_type=jnp.float32) * scale
+    r = jax.lax.broadcasted_iota(jnp.int32, (g * t, g * t), 0) // t
+    c = jax.lax.broadcasted_iota(jnp.int32, (g * t, g * t), 1) // t
+    s = jnp.where((r == c)[None], s, jnp.finfo(s.dtype).min)
+    p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+    o = jnp.einsum("bqk,bkd->bqd", p, vf)
+    return o.reshape(b, h, t, d).transpose(0, 2, 1, 3)
 
 
 def _split_heads(x, heads):

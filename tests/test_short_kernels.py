@@ -111,3 +111,18 @@ def test_fused_geglu_grad_matches_math():
     for a, b_ in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    atol=5e-4, rtol=1e-3)
+
+
+def test_blockdiag_small_attend_matches_dense():
+    """XLA block-diagonal packed tiny-T attention (attention.py) is exactly
+    the per-sequence softmax."""
+    from mudg_tpu.nn.attention import _blockdiag_small_attend
+
+    for b, t, h, d in [(16, 16, 2, 64), (8, 4, 4, 32)]:
+        ks = jax.random.split(jax.random.PRNGKey(7), 3)
+        q = jax.random.normal(ks[0], (b, t, h, d), jnp.float32)
+        k = jax.random.normal(ks[1], (b, t, h, d), jnp.float32)
+        v = jax.random.normal(ks[2], (b, t, h, d), jnp.float32)
+        out = _blockdiag_small_attend(q, k, v, d ** -0.5)
+        ref = _dense(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
