@@ -90,13 +90,15 @@ def main(argv=None):
     p.add_argument("--voxel", type=float, default=0.15)
     p.add_argument("--limit_frames", type=int, default=None)
     p.add_argument("--holdout_every", type=int, default=8)
+    p.add_argument("--raster_backend", default="auto",
+                   choices=("auto", "pallas", "xla"),
+                   help="auto = Pallas tile kernels on TPU, XLA elsewhere")
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
 
     from ..gs import gaussians as G
     from ..gs import train as GT
-    from ..gs.rasterize import rasterize
     from ..render import pointcloud as PC
     from ..utils import media, metrics, native
 
@@ -121,7 +123,8 @@ def main(argv=None):
     views_j = [
         {k: jnp.asarray(v[k]) for k in v} for v in train_views
     ]
-    cfg = GT.GSConfig()
+    cfg = GT.GSConfig(backend=args.raster_backend)
+    raster = GT._pick_raster(cfg, args.width, args.height)
     state, history = GT.fit_scene(
         g, views_j, cfg, width=args.width, height=args.height,
         steps=args.steps, log_every=max(args.steps // 20, 1),
@@ -132,9 +135,8 @@ def main(argv=None):
     os.makedirs(rdir, exist_ok=True)
     psnrs = []
     for i, v in enumerate(hold_views or train_views[:4]):
-        out = rasterize(
+        out = raster(
             state.gaussians, jnp.asarray(v["K"]), jnp.asarray(v["w2c"]),
-            width=args.width, height=args.height,
         )
         img = np.asarray(out.color)
         media.save_image(os.path.join(rdir, f"nv_{i:04d}.png"),

@@ -20,6 +20,7 @@ import optax
 
 from .gaussians import Gaussians
 from .rasterize import rasterize
+from .tile_raster import rasterize_pallas
 
 
 @dataclasses.dataclass(frozen=True)
@@ -35,8 +36,12 @@ class GSConfig:
     densify_grad_thresh: float = 2e-4
     prune_opacity_thresh: float = 0.005
     split_scale_thresh: float = 0.05   # world units; split if larger
-    max_per_tile: int = 256
-    tiles_per_gaussian: int = 16
+    max_per_tile: int = 256          # XLA-path capacity (backend="xla")
+    tiles_per_gaussian: int = 16     # XLA-path per-gaussian tile cap
+    backend: str = "auto"            # "auto" | "pallas" | "xla": auto picks
+                                     # the capacity-free Pallas tile kernels
+                                     # on TPU, the sort+scan path elsewhere
+    max_pairs: int = 1 << 21         # Pallas-path global pair budget
 
 
 def gaussian_window(size=11, sigma=1.5):
@@ -115,12 +120,22 @@ def init_state(g: Gaussians, cfg: GSConfig) -> GSTrainState:
     )
 
 
-def make_gs_train_step(cfg: GSConfig, *, width: int, height: int):
-    opt = make_gs_optimizer(cfg)
-    raster = partial(
+def _pick_raster(cfg: GSConfig, width: int, height: int):
+    use_pallas = cfg.backend == "pallas" or (
+        cfg.backend == "auto" and jax.default_backend() == "tpu"
+    )
+    if use_pallas:
+        return partial(rasterize_pallas, width=width, height=height,
+                       max_pairs=cfg.max_pairs)
+    return partial(
         rasterize, width=width, height=height,
         max_per_tile=cfg.max_per_tile, tiles_per_gaussian=cfg.tiles_per_gaussian,
     )
+
+
+def make_gs_train_step(cfg: GSConfig, *, width: int, height: int):
+    opt = make_gs_optimizer(cfg)
+    raster = _pick_raster(cfg, width, height)
 
     def loss_fn(floats, active, K, w2c, target_rgb, target_depth, depth_mask):
         g = _with_floats(Gaussians(None, None, None, None, None, active), floats)
