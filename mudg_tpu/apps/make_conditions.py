@@ -199,6 +199,11 @@ def main(argv=None):
     p.add_argument("--six_frame_depth", action="store_true")
     p.add_argument("--shift", type=float, default=2.0)
     p.add_argument("--limit_frames", type=int, default=None)
+    p.add_argument("--emit_virtual_items", default=None, metavar="PATH",
+                   help="after rendering, write the virtual-pose inference "
+                        "item list (generate_virtual_item.py equivalent)")
+    p.add_argument("--window", type=int, default=16,
+                   help="item window length for --emit_virtual_items")
     args = p.parse_args(argv)
 
     render_scene_conditions(
@@ -214,6 +219,13 @@ def main(argv=None):
         render_six_frame_depth(
             args.scene, tuple(args.cameras), limit_frames=args.limit_frames
         )
+    if args.emit_virtual_items:
+        from ..data.waymo import make_virtual_item_list, write_items
+
+        items = make_virtual_item_list(
+            args.scene, tuple(args.cameras), window=args.window)
+        write_items(args.emit_virtual_items, items)
+        print(f"wrote {len(items)} virtual items -> {args.emit_virtual_items}")
 
 
 if __name__ == "__main__":

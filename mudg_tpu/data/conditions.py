@@ -22,7 +22,11 @@ def _load_window(sample: dict, base_key: str, resolution, *, nearest=False,
     h, w = resolution
     base = sample[base_key]
     frames = []
-    for fr in sample["frames"]:
+    # virtual-pose items override the frame names per base: the rendered
+    # virtual conditions are suffixed {frame}_{pose}.jpg while the dense GT
+    # keeps plain names (generate_virtual_item.py semantics)
+    names = sample.get(base_key + "_frames", sample["frames"])
+    for fr in names:
         name = fr if ext is None else fr[:-4] + ext
         path = os.path.join(base, name)
         if depth:

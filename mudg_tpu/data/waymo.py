@@ -251,3 +251,43 @@ class BatchLoader:
         if self.tokenizer is not None:
             out["tokens"] = self.tokenizer([it["caption"] for it in items])
         return out
+
+
+def make_virtual_item_list(scene_dir: str, cameras=("camera_FRONT",),
+                           window: int = 16, virtual_index: int = 1,
+                           stride: int | None = None):
+    """Inference item list over VIRTUAL-pose conditions
+    (virtual_render/generate_virtual_item.py:13-50): one item per valid
+    center frame (window//2 margin on both sides), dense GT from images/
+    with plain frame names, sparse RGB/depth from virtual_sparse/ and
+    virtual_depth/ with the {frame}_{pose} suffixed names written by
+    make_conditions --render_virtual.
+
+    stride defaults to window//2 (the autoregressive advance used by
+    render_infer) so consecutive items tile the sequence.
+    """
+    stride = stride or max(window // 2, 1)
+    items = []
+    for cam in cameras:
+        img_dir = os.path.join(scene_dir, "images", cam)
+        if not os.path.isdir(img_dir):
+            continue
+        frames = sorted(f for f in os.listdir(img_dir)
+                        if f.endswith((".jpg", ".png")))
+        for start in range(0, max(len(frames) - window + 1, 0), stride):
+            win = frames[start : start + window]
+            suffixed = [f"{fr[:-4]}_{virtual_index}{fr[-4:]}" for fr in win]
+            items.append({
+                "scene": scene_dir,
+                "camera": cam,
+                "virtual_index": virtual_index,
+                "frames": win,
+                "dense_color_base": img_dir,
+                "dense_semantic_base": os.path.join(scene_dir, "semantic_dense", cam),
+                "dense_depth_base": os.path.join(scene_dir, "six_frames_depth", cam),
+                "sparse_color_base": os.path.join(scene_dir, "virtual_sparse", cam),
+                "sparse_color_base_frames": suffixed,
+                "sparse_depth_base": os.path.join(scene_dir, "virtual_depth", cam),
+                "sparse_depth_base_frames": suffixed,
+            })
+    return items

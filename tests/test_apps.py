@@ -193,3 +193,39 @@ def test_render_infer_task_serial_matches_batched(scene, tmp_path):
     # than bitwise equality
     assert np.isfinite(a).all() and np.isfinite(b).all()
     assert 0 <= b.min() and b.max() <= 100
+
+
+def test_virtual_pose_render_end_to_end(scene, tmp_path):
+    """The paper's headline capability as one flow: render virtual-pose
+    conditions (+/-2 m shifts), emit the virtual item list
+    (generate_virtual_item.py equivalent), and run the inference app over it
+    so the generated video is conditioned on the VIRTUAL sparse RGB/depth."""
+    from mudg_tpu.apps.make_conditions import render_scene_conditions
+    from mudg_tpu.data.waymo import make_virtual_item_list, write_items
+    from mudg_tpu.data import conditions as DC
+    from mudg_tpu.apps import render_infer
+
+    render_scene_conditions(scene, ("camera_FRONT",), virtual=True)
+    items = make_virtual_item_list(scene, ("camera_FRONT",), window=4)
+    assert len(items) == 1
+    it = items[0]
+    assert it["sparse_color_base_frames"][0].endswith("_1.jpg")
+    assert it["sparse_color_base"].endswith("virtual_sparse/camera_FRONT")
+
+    # the conditions loader resolves the suffixed virtual names per base
+    td = DC.get_task_frames(it, "color", (32, 64))
+    assert td["sparse_frames"].shape == (4, 32, 64, 3)
+    sd = DC.get_sparse_depth(it, (32, 64))
+    assert sd.shape == (4, 32, 64, 3) or sd.shape == (4, 32, 64)
+
+    items_path = str(tmp_path / "virtual_items.txt")
+    write_items(items_path, items)
+    out_dir = str(tmp_path / "vout")
+    render_infer.main([
+        "--items", items_path, "--out", out_dir,
+        "--preset", "tiny", "--height", "32", "--width", "64",
+        "--video_length", "4", "--steps", "2", "--max_windows", "1",
+    ])
+    for task in ("color", "depth", "semantic"):
+        assert os.path.exists(
+            os.path.join(out_dir, f"virtual_{task}", f"{task}_re_0.png"))
