@@ -141,18 +141,25 @@ def _load_torch_pickle(path: str) -> Mapping[str, np.ndarray]:
 
     def _rebuild_tensor_v2(storage, storage_offset, size, stride, *args):
         arr = storage.storage
-        n = int(np.prod(size)) if size else 1
-        flat = arr[storage_offset : storage_offset + max(n, 1)]
         if not size:
-            return flat.reshape(())[()]
-        # as_strided for non-contiguous saves (rare in checkpoints)
-        try:
-            return flat.reshape(size)
-        except ValueError:
-            itemsize = arr.itemsize
-            return np.lib.stride_tricks.as_strided(
-                arr[storage_offset:], size, [s * itemsize for s in stride]
-            ).copy()
+            return arr[storage_offset : storage_offset + 1].reshape(())[()]
+        # torch serializes tensors with their strides; a non-contiguous save
+        # (torch.tensor() of a transposed numpy array keeps its strides)
+        # must be rebuilt with as_strided, NOT reshape — reshape silently
+        # reorders elements whenever numel happens to match.
+        contig = []
+        acc = 1
+        for s in reversed(size):
+            contig.append(acc)
+            acc *= s
+        contig = tuple(reversed(contig))
+        if tuple(stride) == contig:
+            n = int(np.prod(size))
+            return arr[storage_offset : storage_offset + n].reshape(size)
+        itemsize = arr.itemsize
+        return np.lib.stride_tricks.as_strided(
+            arr[storage_offset:], size, [s * itemsize for s in stride]
+        ).copy()
 
     with zf.open(f"{prefix}/data.pkl") as f:
         obj = Unpickler(io.BytesIO(f.read())).load()
@@ -295,6 +302,48 @@ def pytree_to_state_dict(tree: dict, *, prefix: str = "") -> dict:
 # ---------------------------------------------------------------------------
 # Native (orbax) checkpointing
 # ---------------------------------------------------------------------------
+
+_SAFETENSORS_DTYPES = {
+    "F64": np.float64, "F32": np.float32, "F16": np.float16,
+    "I64": np.int64, "I32": np.int32, "I16": np.int16, "I8": np.int8,
+    "U8": np.uint8, "BOOL": np.bool_,
+}
+
+
+def load_safetensors(path: str) -> dict[str, np.ndarray]:
+    """Minimal safetensors reader (HF checkpoint format): 8-byte LE header
+    length, JSON header mapping tensor name -> {dtype, shape, data_offsets},
+    then one raw little-endian buffer. BF16 is widened to float32 (numpy has
+    no bfloat16)."""
+    import json
+    import struct
+
+    with open(path, "rb") as f:
+        (hdr_len,) = struct.unpack("<Q", f.read(8))
+        header = json.loads(f.read(hdr_len))
+        buf = f.read()
+    out = {}
+    for name, meta in header.items():
+        if name == "__metadata__":
+            continue
+        s, e = meta["data_offsets"]
+        raw = buf[s:e]
+        if meta["dtype"] == "BF16":
+            u16 = np.frombuffer(raw, dtype=np.uint16)
+            arr = (u16.astype(np.uint32) << 16).view(np.float32)
+        else:
+            arr = np.frombuffer(raw, dtype=_SAFETENSORS_DTYPES[meta["dtype"]])
+        out[name] = arr.reshape(meta["shape"]).copy()
+    return out
+
+
+def load_torch_state_dict(path: str) -> dict[str, np.ndarray]:
+    """Load a flat torch state_dict from a .pth/.ckpt/.bin (torch pickle) or
+    .safetensors file, normalized to numpy arrays."""
+    if path.endswith(".safetensors"):
+        return load_safetensors(path)
+    return normalize_state_dict(_load_torch_pickle(path))
+
 
 def save_pytree(path: str, tree) -> None:
     import orbax.checkpoint as ocp
