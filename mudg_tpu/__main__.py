@@ -7,6 +7,7 @@ Commands map to the apps package:
   refine-gs    3DGS scene refinement                (apps.refine_gs)
   eval         PSNR/SSIM novel-view evaluation      (apps.eval_nvs)
   preprocess   Waymo tfrecord -> scene dirs ETL     (apps.preprocess)
+  densify      learned/classical depth densification (apps.densify_depth)
   bench        the repo benchmark                   (bench.py main)
 """
 from __future__ import annotations
@@ -32,6 +33,8 @@ def main(argv=None):
         from .apps.eval_nvs import main as run
     elif cmd == "preprocess":
         from .apps.preprocess import main as run
+    elif cmd == "densify":
+        from .apps.densify_depth import main as run
     elif cmd == "bench":
         import importlib.util
         import os

@@ -134,12 +134,12 @@ def build_pairs(proj, colors, *, width: int, height: int, max_pairs: int):
     sy = local // jnp.maximum(x1[gi] - x0[gi] + 1, 1)
     tile_id = jnp.where(valid, (y0[gi] + sy) * tw + (x0[gi] + sx), n_tiles)
 
-    # (tile, depth) lexicographic order via two stable sorts
+    # (tile, depth) lexicographic order in ONE variadic sort: lax.sort with
+    # num_keys=2 sorts by tile then depth and carries gi along, replacing two
+    # stable argsorts + two permutation gathers (the round-2 profile's
+    # dominant build_pairs cost at millions of pairs)
     depth = proj.depths[gi]
-    order1 = jnp.argsort(depth, stable=True)
-    order = order1[jnp.argsort(tile_id[order1], stable=True)]
-    gi_s = gi[order]
-    tile_s = tile_id[order]
+    tile_s, _, gi_s = jax.lax.sort((tile_id, depth, gi), num_keys=2)
 
     bounds = jnp.searchsorted(
         tile_s, jnp.arange(n_tiles + 1, dtype=jnp.int32)

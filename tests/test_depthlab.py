@@ -256,6 +256,46 @@ def test_load_depthlab_dir(tmp_path):
         vae_p, vae2)
 
 
+def test_densify_scene_app(tmp_path):
+    """apps/densify_depth drives the reference main loop
+    (depthlab_tools.py:480-549): per-camera-frame dense/aligned/processed
+    npys + Spectral visualizations, sky filled from the semantic pfm."""
+    import cv2
+
+    from mudg_tpu.apps.densify_depth import densify_scene
+    from mudg_tpu.data.segmentation import write_pfm
+
+    scene = tmp_path / "scene"
+    cam = "camera_FRONT"
+    for d in (f"images/{cam}", f"six_frames_depth/{cam}", f"semantic/{cam}/seg"):
+        (scene / d).mkdir(parents=True)
+
+    rng = np.random.default_rng(0)
+    H, W = 24, 32
+    for i in range(2):
+        stem = f"{i:08d}"
+        cv2.imwrite(str(scene / "images" / cam / f"{stem}.jpg"),
+                    rng.integers(0, 255, (H, W, 3), dtype=np.uint8))
+        sparse = np.where(rng.uniform(size=(H, W)) < 0.2,
+                          rng.uniform(2, 60, (H, W)), 0).astype(np.float32)
+        np.save(scene / "six_frames_depth" / cam / f"{stem}.npy", sparse)
+        sem = np.zeros((H, W), np.float32)
+        sem[:4] = 10.0  # sky band
+        write_pfm(str(scene / "semantic" / cam / "seg" / f"{stem}.pfm"), sem)
+
+    n = densify_scene(str(scene), cameras=(cam,))
+    assert n == 2
+    for sub in ("dense", "aligned", "processed"):
+        files = sorted((scene / f"six_frames_depth_{sub}" / cam).iterdir())
+        assert len(files) == 2, sub
+    processed = np.load(scene / "six_frames_depth_processed" / cam / "00000000.npy")
+    assert processed.shape == (H, W)
+    assert (processed[:4] == 100.0).all()          # sky filled
+    assert (processed >= 0).all() and (processed <= 100).all()
+    vis = sorted((scene / "six_frames_depth_vis" / cam).iterdir())
+    assert len(vis) == 8  # 4 stages x 2 frames
+
+
 def test_mapping_layer():
     from mudg_tpu.nn import functional as F
 
