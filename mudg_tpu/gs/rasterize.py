@@ -7,7 +7,7 @@ relies on (StreetGaussians, README.md:113-114). Design:
   2. build (tile, depth)-ordered keys by duplicating each gaussian across the
      tiles its 3-sigma box covers (bounded by MAX_TILES_PER_GAUSSIAN — static
      shapes; overflowing tiles are dropped and logged by the caller),
-  3. one global argsort on a fused (tile_id, depth) float64-free key,
+  3. one global variadic sort by (tile_id, depth), int64-free,
   4. per-tile segment extraction via searchsorted into a fixed-capacity
      (tiles, K) index table,
   5. front-to-back alpha compositing vectorized over all pixels of all tiles
@@ -101,10 +101,11 @@ def rasterize(
     gauss_idx = jnp.broadcast_to(
         jnp.arange(n, dtype=jnp.int32)[:, None], (n, tpg)
     ).reshape(-1)
-    order1 = jnp.argsort(depth_flat, stable=True)
-    order = order1[jnp.argsort(tile_flat[order1], stable=True)]
-    sorted_tile = tile_flat[order]
-    sorted_idx = gauss_idx[order]
+    # one variadic sort by (tile, depth) carrying the gaussian index —
+    # measured ~12% faster than two argsorts + permutation gathers in the
+    # pallas path's build_pairs (same pattern, docs/STATE.md)
+    sorted_tile, _, sorted_idx = jax.lax.sort(
+        (tile_flat, depth_flat, gauss_idx), num_keys=2)
 
     # --- per-tile segments -> fixed-capacity table -------------------------
     starts = jnp.searchsorted(sorted_tile, jnp.arange(n_tiles, dtype=jnp.int32))
