@@ -68,6 +68,45 @@ def oneshot(q, k, v, bq):
     )(q, k, v)
 
 
+# --- exp2 variant: scale*log2(e) folded into q, exp2 softmax ---------------
+# removes the (bq, lk) f32 scale-multiply and uses the cheaper exp2; softmax
+# is invariant under the base change (2^((s-m)*log2e) == e^(s-m)).
+
+LOG2E = 1.4426950408889634
+
+
+def _oneshot2_kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
+    q = q_ref[0]
+    qs = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
+    s = jax.lax.dot_general(
+        qs, k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp2(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot(p.astype(v_ref.dtype), v_ref[0],
+                    preferred_element_type=jnp.float32)
+    o_ref[0] = (o / l).astype(o_ref.dtype)
+
+
+def oneshot2(q, k, v, bq):
+    bh, lq, d = q.shape
+    lk = k.shape[1]
+    grid = (bh, lq // bq)
+    return pl.pallas_call(
+        functools.partial(_oneshot2_kernel, scale=d ** -0.5),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lk, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lk, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+    )(q, k, v)
+
+
 # --- current loop kernel with parametric blocks -----------------------------
 
 from mudg_tpu.kernels import flash_attention as FA
@@ -126,6 +165,18 @@ def main():
                       f"{100*flops/sec/PEAK:5.1f}% err={err:.4f}", flush=True)
             except Exception as e:
                 print(f"s={s} oneshot bq={bq}: FAIL {type(e).__name__}", flush=True)
+
+        for bq in (256, 512, 1024):
+            if s % bq:
+                continue
+            try:
+                out = np.asarray(jax.jit(lambda x: oneshot2(x, x, x, bq))(q), np.float32)
+                err = np.abs(out - ref).max()
+                sec = timed(lambda x: oneshot2(x, x, x, bq), q)
+                print(f"s={s} oneshot2(exp2) bq={bq}: {sec*1e3:7.3f} ms "
+                      f"{100*flops/sec/PEAK:5.1f}% err={err:.4f}", flush=True)
+            except Exception as e:
+                print(f"s={s} oneshot2 bq={bq}: FAIL {type(e).__name__}", flush=True)
 
         for bq in (512, 1024, 2560):
             for bk in (512, 1280, 2560):
