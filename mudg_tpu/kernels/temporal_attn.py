@@ -1,0 +1,204 @@
+"""Fused temporal double self-attention (Pallas TPU).
+
+The temporal transformer block (lvdm/modules/attention.py:348-400 with
+only_self_att=True) runs TWO consecutive self-attentions over tiny T=16
+sequences before the feed-forward. The XLA path (`attention.
+_blockdiag_small_attend`) already packs 128//T sequences per 128-row slab,
+but it still materializes the (nb, 128, 128) f32 logits in HBM twice per
+attention (dot -> softmax -> dot cannot fuse across the MXU boundary):
+~0.75 ms of pure HBM traffic per attention core at the ds1 shape, plus
+q/k/v round trips. This kernel keeps everything resident in VMEM per slab:
+
+    x_slab (128, C) -> LN1 -> per-head qkv -> block-diag softmax(128x128)
+    -> out-proj accumulate -> +residual -> LN2 -> second attention -> +res
+
+Per-head weights are pre-reshaped on host to (H, C, 64) / (H, 64, C) so the
+kernel never slices the lane dimension (Mosaic cannot). The softmax runs in
+base 2 with scale*log2(e) folded into Wq on host (same trick as
+flash_attention.py; probabilities are mathematically unchanged).
+
+Backward: `jax.custom_vjp` whose bwd re-runs the reference XLA
+implementation under `jax.vjp` — gradients are exactly those of the
+unfused path (training keeps its current numerics/cost; inference gets the
+fused forward).
+
+Used by `nn.attention.temporal_transformer` when: TPU backend, self-only
+attention, no rel-pos/causal, T divides 128, rows % 128 == 0, C <= 320
+(the group=8 slab must fit VMEM; ds2/ds4 widths fall back to XLA, which
+measured faster there anyway).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LOG2E = 1.4426950408889634
+NEG = -1e30
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _attn_stage(x, lnw, lnb, wq, wk, wv, wo, bo, mask, heads, group):
+    """One LN -> block-diag self-attention -> out-proj -> +residual stage on
+    a (group*128, C) row block held in VMEM. The projections run at
+    M=group*128 (MXU-efficient); the 128x128 attention cores run as one
+    batched dot over the `group` slabs per head. Returns f32."""
+    rows = x.shape[0]
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mean) ** 2, axis=-1, keepdims=True)
+    xn = ((xf - mean) * jax.lax.rsqrt(var + 1e-5) * lnw + lnb).astype(jnp.bfloat16)
+
+    acc = jnp.zeros(x.shape, jnp.float32)
+    for h in range(heads):
+        q = jax.lax.dot(xn, wq[h], preferred_element_type=jnp.float32)
+        k = jax.lax.dot(xn, wk[h], preferred_element_type=jnp.float32)
+        v = jax.lax.dot(xn, wv[h], preferred_element_type=jnp.float32)
+        d = q.shape[-1]
+        q3 = q.astype(jnp.bfloat16).reshape(group, 128, d)
+        k3 = k.astype(jnp.bfloat16).reshape(group, 128, d)
+        v3 = v.astype(jnp.bfloat16).reshape(group, 128, d)
+        s = jax.lax.dot_general(
+            q3, k3, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (G, 128, 128) base-2 logits (scale*log2e folded into wq)
+        s = jnp.where(mask[None], s, NEG)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp2(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(jnp.bfloat16), v3, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (G, 128, d)
+        acc = acc + jax.lax.dot(
+            o.astype(jnp.bfloat16).reshape(rows, d), wo[h],
+            preferred_element_type=jnp.float32)
+    return xf + acc + bo
+
+
+def _kernel(x_ref,
+            ln1w, ln1b, wq1, wk1, wv1, wo1, bo1,
+            ln2w, ln2b, wq2, wk2, wv2, wo2, bo2,
+            o_ref, *, t, heads, group):
+    x = x_ref[...]
+    r = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0) // t
+    c = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1) // t
+    mask = r == c
+    h1 = _attn_stage(x, ln1w[...], ln1b[...], wq1, wk1, wv1, wo1, bo1[...],
+                     mask, heads, group)
+    h2 = _attn_stage(h1.astype(x.dtype), ln2w[...], ln2b[...], wq2, wk2, wv2,
+                     wo2, bo2[...], mask, heads, group)
+    o_ref[...] = h2.astype(o_ref.dtype)
+
+
+def _prep(p, c, heads, *, fold_scale):
+    """attn param dict -> (wq (H,C,64), wk, wv, wo (H,64,C), bo (1,C))."""
+    d = c // heads
+    wq = p["to_q"]["weight"].astype(jnp.bfloat16)
+    if fold_scale:
+        wq = (wq.astype(jnp.float32) * (d ** -0.5 * LOG2E)).astype(jnp.bfloat16)
+    wk = p["to_k"]["weight"].astype(jnp.bfloat16)
+    wv = p["to_v"]["weight"].astype(jnp.bfloat16)
+    wo = p["to_out"]["0"]["weight"].astype(jnp.bfloat16)
+    bo = p["to_out"]["0"].get("bias")
+    bo = (jnp.zeros((c,), jnp.float32) if bo is None else bo.astype(jnp.float32))
+    split = lambda w: w.reshape(c, heads, d).transpose(1, 0, 2)   # (H, C, 64)
+    wo_h = wo.reshape(heads, d, c)                                 # (H, 64, C)
+    return split(wq), split(wk), split(wv), wo_h, bo.reshape(1, c)
+
+
+def eligible(x, c, heads, t) -> bool:
+    return (
+        jax.default_backend() == "tpu"
+        and t <= 64 and 128 % t == 0
+        and (x.shape[0] * t) % 128 == 0
+        and c % heads == 0 and (c // heads) == 64
+        # measured (v5e): wins only where the group=8 slab fits VMEM (C=320:
+        # 9.7 -> 7.3 ms/call); at C=640 the VMEM-shrunk group=4 variant is
+        # SLOWER than the XLA blockdiag path (5.9 -> 6.5 ms) — fall back.
+        and c <= 320
+    )
+
+
+def _fused_impl(tokens, p1, p2, *, t, heads):
+    """tokens: (N, T, C) -> (N, T, C); p1/p2 are attn param dicts."""
+    n, tt, c = tokens.shape
+    rows = n * tt
+    x2 = tokens.reshape(rows, c)
+    w1 = _prep(p1, c, heads, fold_scale=True)
+    w2 = _prep(p2, c, heads, fold_scale=True)
+    const = pl.BlockSpec(memory_space=pltpu.VMEM)
+    def vmem_est(g):
+        # weights (both attns) + bf16 in/out blocks + f32 temporaries
+        # (xf/acc/h1) + the (G,128,128) f32 score/prob buffers
+        blk_ = 128 * g
+        return (8 * c * c * 2 + blk_ * c * (2 * 2 + 3 * 4)
+                + g * 128 * 128 * 4 * 2)
+
+    group = next(g for g in (8, 4, 2, 1)
+                 if rows % (128 * g) == 0 and vmem_est(g) <= 13 * 2**20)
+    blk = 128 * group
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, t=t, heads=heads, group=group),
+        grid=(rows // blk,),
+        in_specs=[pl.BlockSpec((blk, c), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)]
+        + [const] * 14,
+        out_specs=pl.BlockSpec((blk, c), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, c), tokens.dtype),
+        interpret=_interpret(),
+    )(
+        x2,
+        p1["norm"]["weight"].astype(jnp.float32).reshape(1, c),
+        p1["norm"]["bias"].astype(jnp.float32).reshape(1, c),
+        *w1[:4], w1[4],
+        p2["norm"]["weight"].astype(jnp.float32).reshape(1, c),
+        p2["norm"]["bias"].astype(jnp.float32).reshape(1, c),
+        *w2[:4], w2[4],
+    )
+    return out.reshape(n, tt, c)
+
+
+def _xla_impl(tokens, p1, p2, *, t, heads):
+    """Reference implementation (same math, plain XLA) — used for the custom
+    VJP backward and for parity tests."""
+    from ..nn import attention as A
+    from ..nn import functional as F
+
+    x = tokens
+    x = A.cross_attention(
+        {k: v for k, v in p1.items() if k != "norm"},
+        F.layer_norm(p1["norm"], x), None, heads=heads) + x
+    x = A.cross_attention(
+        {k: v for k, v in p2.items() if k != "norm"},
+        F.layer_norm(p2["norm"], x), None, heads=heads) + x
+    return x
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_double_self_attn(tokens, p1, p2, t, heads):
+    """LN->self-attn->+res twice, fused. p1/p2: dicts with 'norm' (LayerNorm
+    params) plus CrossAttention to_q/to_k/to_v/to_out."""
+    return _fused_impl(tokens, p1, p2, t=t, heads=heads)
+
+
+def _vjp_fwd(tokens, p1, p2, t, heads):
+    return _fused_impl(tokens, p1, p2, t=t, heads=heads), (tokens, p1, p2)
+
+
+def _vjp_bwd(t, heads, res, g):
+    tokens, p1, p2 = res
+    _, vjp = jax.vjp(lambda x, a, b: _xla_impl(x, a, b, t=t, heads=heads),
+                     tokens, p1, p2)
+    return vjp(g)
+
+
+fused_double_self_attn.defvjp(_vjp_fwd, _vjp_bwd)

@@ -370,7 +370,35 @@ def temporal_transformer(
     if remat:
         block = jax.checkpoint(block)
     for d in range(depth):
-        x = block(p["transformer_blocks"][str(d)], x, None)
+        pb = p["transformer_blocks"][str(d)]
+        # Fused Pallas double-attention (kernels/temporal_attn.py): both
+        # self-attentions + LNs + residuals of the block in one kernel, the
+        # (128,128) block-diag logits never leaving VMEM. The XLA blockdiag
+        # path pays ~0.75 ms/core of HBM logits traffic at ds1.
+        use_fused = (
+            not causal
+            and impl == "auto"
+            and "relative_position_k" not in pb["attn1"]
+            and os.environ.get("MUDG_FUSED_TEMPORAL", "1") == "1"
+        )
+        if use_fused:
+            from ..kernels import temporal_attn as TA
+
+            use_fused = TA.eligible(x, x.shape[-1], heads, t)
+        if use_fused:
+            def fused_block(pb_, x_):
+                from ..kernels import temporal_attn as TA
+
+                x_ = TA.fused_double_self_attn(
+                    x_, {"norm": pb_["norm1"], **pb_["attn1"]},
+                    {"norm": pb_["norm2"], **pb_["attn2"]}, t, heads)
+                return feed_forward(pb_["ff"], F.layer_norm(pb_["norm3"], x_)) + x_
+
+            if remat:
+                fused_block = jax.checkpoint(fused_block)
+            x = fused_block(pb, x)
+        else:
+            x = block(pb, x, None)
     x = _proj(p["proj_out"], x)
     x = x.reshape(b, h, w, t, c).transpose(0, 3, 1, 2, 4)
     return x + x_in

@@ -164,3 +164,47 @@ def test_domain_cross_attention_identity_at_init():
     p2 = {k: v for k, v in p.items() if k not in ("attn_joint", "norm_joint")}
     out_without = A.basic_transformer_block(p2, x, ctx, heads=2, impl="xla")
     np.testing.assert_allclose(np.asarray(out_with), np.asarray(out_without), atol=1e-5)
+
+
+def test_fused_temporal_double_attn_parity():
+    """kernels/temporal_attn: the fused LN->attn->res x2 kernel (interpret
+    mode) matches the XLA reference implementation, and its custom-vjp
+    gradients are exactly the XLA path's gradients."""
+    import numpy as np
+
+    from mudg_tpu.kernels import temporal_attn as TA
+    from mudg_tpu.nn import attention as A
+
+    rng = jax.random.PRNGKey(0)
+    heads, c, t, n = 2, 128, 16, 16
+    pb = A.init_transformer_block(rng, c, heads=heads, dim_head=64)
+    pb = jax.tree.map(lambda a: a.astype(jnp.float32), pb)
+    tokens = jax.random.normal(jax.random.PRNGKey(1), (n, t, c), jnp.float32)
+    p1 = {"norm": pb["norm1"], **pb["attn1"]}
+    p2 = {"norm": pb["norm2"], **pb["attn2"]}
+
+    ref = TA._xla_impl(tokens, p1, p2, t=t, heads=heads)
+    out = TA._fused_impl(tokens, p1, p2, t=t, heads=heads)
+    assert out.shape == ref.shape
+    scale = float(jnp.abs(ref).max())
+    # kernel runs qkv/S/PV in bf16 like the XLA path but folds scale into Wq
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-2 * scale)
+
+    def loss_fused(x, a, b):
+        return jnp.sum(TA.fused_double_self_attn(x, a, b, t, heads) ** 2)
+
+    def loss_xla(x, a, b):
+        return jnp.sum(TA._xla_impl(x, a, b, t=t, heads=heads) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1))(tokens, p1, p2)
+    gx = jax.grad(loss_xla, argnums=(0, 1))(tokens, p1, p2)
+    # bwd re-runs the XLA impl under jax.vjp; the only difference is the
+    # cotangent scale from the slightly different fused forward inside **2
+    np.testing.assert_allclose(np.asarray(gf[0]), np.asarray(gx[0]),
+                               rtol=0.1, atol=5e-2 * float(jnp.abs(gx[0]).max()))
+    jax.tree.map(
+        lambda a_, b_: np.testing.assert_allclose(
+            np.asarray(a_), np.asarray(b_),
+            rtol=0.1, atol=5e-2 * max(float(np.abs(np.asarray(b_)).max()), 1e-6)),
+        gf[1], gx[1])
