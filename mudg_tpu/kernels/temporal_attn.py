@@ -23,9 +23,10 @@ unfused path (training keeps its current numerics/cost; inference gets the
 fused forward).
 
 Used by `nn.attention.temporal_transformer` when: TPU backend, self-only
-attention, no rel-pos/causal, T divides 128, rows % 128 == 0, C <= 320
-(the group=8 slab must fit VMEM; ds2/ds4 widths fall back to XLA, which
-measured faster there anyway).
+attention, no rel-pos/causal, T divides 128, rows % 128 == 0, and the
+weights fit VMEM next to a group>=4 slab: C=320 runs both attentions in one
+kernel (group=8), C=640 runs one attention per kernel (group=4, weights
+halved), C=1280 falls back to XLA (near its roofline there anyway).
 """
 from __future__ import annotations
 
@@ -97,6 +98,18 @@ def _kernel(x_ref,
     o_ref[...] = h2.astype(o_ref.dtype)
 
 
+def _kernel1(x_ref, lnw, lnb, wq, wk, wv, wo, bo, o_ref, *, t, heads, group):
+    """Single-attention variant: only one stage's weights resident, so wider
+    channels (C=640) still fit VMEM with the full group=8 slab."""
+    x = x_ref[...]
+    r = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0) // t
+    c = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1) // t
+    mask = r == c
+    h = _attn_stage(x, lnw[...], lnb[...], wq, wk, wv, wo, bo[...],
+                    mask, heads, group)
+    o_ref[...] = h.astype(o_ref.dtype)
+
+
 def _prep(p, c, heads, *, fold_scale):
     """attn param dict -> (wq (H,C,64), wk, wv, wo (H,64,C), bo (1,C))."""
     d = c // heads
@@ -119,11 +132,34 @@ def eligible(x, c, heads, t) -> bool:
         and t <= 64 and 128 % t == 0
         and (x.shape[0] * t) % 128 == 0
         and c % heads == 0 and (c // heads) == 64
-        # measured (v5e): wins only where the group=8 slab fits VMEM (C=320:
-        # 9.7 -> 7.3 ms/call); at C=640 the VMEM-shrunk group=4 variant is
-        # SLOWER than the XLA blockdiag path (5.9 -> 6.5 ms) — fall back.
-        and c <= 320
+        # measured (v5e): C=320 double kernel at group=8: 9.7 -> 7.3 ms/call
+        # integrated; C=640 via two single-stage kernels at group=4: 3.51 vs
+        # 4.36 ms XLA for the double attention. The group=4 DOUBLE kernel at
+        # C=640 was slower than XLA (6.5 vs 5.9 integrated) — never used.
+        # C=1280: one stage's weights alone overflow VMEM -> XLA (which is
+        # near its roofline there anyway).
+        and _pick_group(x.shape[0] * t, c, 1) >= 4
     )
+
+
+def _vmem_est(g, c, stages):
+    # weights (`stages` attns) + bf16 in/out blocks + f32 temporaries
+    # (xf/acc[/h1]) + the (G,128,128) f32 score/prob buffers
+    blk_ = 128 * g
+    return (4 * stages * c * c * 2
+            + blk_ * c * (2 * 2 + (2 + stages) * 4)
+            + g * 128 * 128 * 4 * 2)
+
+
+def _pick_group(rows, c, stages):
+    return next((g for g in (8, 4, 2, 1)
+                 if rows % (128 * g) == 0
+                 and _vmem_est(g, c, stages) <= 13 * 2**20), 0)
+
+
+def _ln_args(p, c):
+    return (p["norm"]["weight"].astype(jnp.float32).reshape(1, c),
+            p["norm"]["bias"].astype(jnp.float32).reshape(1, c))
 
 
 def _fused_impl(tokens, p1, p2, *, t, heads):
@@ -134,37 +170,44 @@ def _fused_impl(tokens, p1, p2, *, t, heads):
     w1 = _prep(p1, c, heads, fold_scale=True)
     w2 = _prep(p2, c, heads, fold_scale=True)
     const = pl.BlockSpec(memory_space=pltpu.VMEM)
-    def vmem_est(g):
-        # weights (both attns) + bf16 in/out blocks + f32 temporaries
-        # (xf/acc/h1) + the (G,128,128) f32 score/prob buffers
-        blk_ = 128 * g
-        return (8 * c * c * 2 + blk_ * c * (2 * 2 + 3 * 4)
-                + g * 128 * 128 * 4 * 2)
 
-    group = next(g for g in (8, 4, 2, 1)
-                 if rows % (128 * g) == 0 and vmem_est(g) <= 13 * 2**20)
+    if _pick_group(rows, c, 2) == 8:
+        # both attentions' weights fit alongside a group=8 slab (C<=320)
+        group = 8
+        blk = 128 * group
+        out = pl.pallas_call(
+            functools.partial(_kernel, t=t, heads=heads, group=group),
+            grid=(rows // blk,),
+            in_specs=[pl.BlockSpec((blk, c), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)]
+            + [const] * 14,
+            out_specs=pl.BlockSpec((blk, c), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((rows, c), tokens.dtype),
+            interpret=_interpret(),
+        )(x2, *_ln_args(p1, c), *w1[:4], w1[4],
+          *_ln_args(p2, c), *w2[:4], w2[4])
+        return out.reshape(n, tt, c)
+
+    # wider channels (C=640): one attention per pallas_call so only one
+    # stage's weights are resident — the intermediate makes one cheap HBM
+    # round trip, the group=8 slab (the thing that actually matters,
+    # measured) is preserved
+    group = _pick_group(rows, c, 1)
     blk = 128 * group
-
-    out = pl.pallas_call(
-        functools.partial(_kernel, t=t, heads=heads, group=group),
-        grid=(rows // blk,),
-        in_specs=[pl.BlockSpec((blk, c), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM)]
-        + [const] * 14,
-        out_specs=pl.BlockSpec((blk, c), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((rows, c), tokens.dtype),
-        interpret=_interpret(),
-    )(
-        x2,
-        p1["norm"]["weight"].astype(jnp.float32).reshape(1, c),
-        p1["norm"]["bias"].astype(jnp.float32).reshape(1, c),
-        *w1[:4], w1[4],
-        p2["norm"]["weight"].astype(jnp.float32).reshape(1, c),
-        p2["norm"]["bias"].astype(jnp.float32).reshape(1, c),
-        *w2[:4], w2[4],
-    )
-    return out.reshape(n, tt, c)
+    for w, p in ((w1, p1), (w2, p2)):
+        x2 = pl.pallas_call(
+            functools.partial(_kernel1, t=t, heads=heads, group=group),
+            grid=(rows // blk,),
+            in_specs=[pl.BlockSpec((blk, c), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)]
+            + [const] * 7,
+            out_specs=pl.BlockSpec((blk, c), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((rows, c), tokens.dtype),
+            interpret=_interpret(),
+        )(x2, *_ln_args(p, c), *w[:4], w[4])
+    return x2.reshape(n, tt, c)
 
 
 def _xla_impl(tokens, p1, p2, *, t, heads):

@@ -166,17 +166,28 @@ def test_domain_cross_attention_identity_at_init():
     np.testing.assert_allclose(np.asarray(out_with), np.asarray(out_without), atol=1e-5)
 
 
-def test_fused_temporal_double_attn_parity():
+import pytest
+
+
+@pytest.mark.parametrize(
+    "heads,c,n",
+    [
+        (2, 128, 64),   # rows=1024 -> group-8 double kernel (C<=320 path)
+        (10, 640, 32),  # rows=512 -> two single-stage kernels at group=4
+    ],
+)
+def test_fused_temporal_double_attn_parity(heads, c, n):
     """kernels/temporal_attn: the fused LN->attn->res x2 kernel (interpret
     mode) matches the XLA reference implementation, and its custom-vjp
-    gradients are exactly the XLA path's gradients."""
+    gradients are exactly the XLA path's gradients. Covers both dispatch
+    shapes: the one-kernel double-attention and the per-stage variant."""
     import numpy as np
 
     from mudg_tpu.kernels import temporal_attn as TA
     from mudg_tpu.nn import attention as A
 
     rng = jax.random.PRNGKey(0)
-    heads, c, t, n = 2, 128, 16, 16
+    t = 16
     pb = A.init_transformer_block(rng, c, heads=heads, dim_head=64)
     pb = jax.tree.map(lambda a: a.astype(jnp.float32), pb)
     tokens = jax.random.normal(jax.random.PRNGKey(1), (n, t, c), jnp.float32)
