@@ -103,10 +103,12 @@ def _ff_apply(x, w1, b1, w2, b2):
     inner = w1.shape[1] // 2
 
     s = _pick_chunk(inner)
-    # bm=512 / s>512 at C=1280 overflow the 16M scoped-VMEM limit once
-    # Mosaic double-buffers the weight blocks (measured: 18.4M at bm=512,
-    # 16.25M at bm=256/s=640); bm=256 + s<=512 stays comfortably under.
-    bm = 512
+    # bm=1024 at C<1024 measured ~5% faster than 512 at ds1 (3.10 vs 3.29 ms,
+    # /tmp sweep 2026-08-16); bm=2048 fails compile. At C=1280, bm>=512 /
+    # s>512 overflow the 16M scoped-VMEM limit once Mosaic double-buffers the
+    # weight blocks (measured: 18.4M at bm=512, 16.25M at bm=256/s=640);
+    # bm=256 + s<=512 stays comfortably under.
+    bm = 1024
     if c >= 1024:
         bm = 256
         while s > 512 or inner % s:
