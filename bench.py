@@ -78,7 +78,10 @@ def main():
             return D.rescale_noise_cfg(out, e_c, guidance_rescale)
 
         z = ddim.ddim_sample(model_fn, key, (b, t, hh, ww, 4), consts, dtype=dtype)
-        x = V.decode_video(vae, vcfg, z.astype(jnp.float32), chunk=1)
+        # chunk=16 decodes the whole clip in one batch: identical math to the
+        # reference's perframe_ae loop, 242 -> 229 ms measured (chunking is a
+        # memory lever, not a numerics one; 16 frames fit v5e HBM at 320x512)
+        x = V.decode_video(vae, vcfg, z.astype(jnp.float32), chunk=16)
         return jnp.clip(x, -1, 1)
 
     # compile + warmup
