@@ -100,7 +100,8 @@ def _kernel(x_ref,
 
 def _kernel1(x_ref, lnw, lnb, wq, wk, wv, wo, bo, o_ref, *, t, heads, group):
     """Single-attention variant: only one stage's weights resident, so wider
-    channels (C=640) still fit VMEM with the full group=8 slab."""
+    channels (C=640) still fit VMEM with a group=4 slab (group=8 overflows
+    even here; measured 3.51 vs 4.36 ms XLA at group=4)."""
     x = x_ref[...]
     r = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0) // t
     c = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1) // t
@@ -129,6 +130,10 @@ def _prep(p, c, heads, *, fold_scale):
 def eligible(x, c, heads, t) -> bool:
     return (
         jax.default_backend() == "tpu"
+        # bf16 only: the kernel computes qkv/S/PV in bf16 (an f32 caller
+        # would get silently-downcast attention), and _vmem_est assumes
+        # 2-byte in/out blocks
+        and x.dtype == jnp.bfloat16
         and t <= 64 and 128 % t == 0
         and (x.shape[0] * t) % 128 == 0
         and c % heads == 0 and (c // heads) == 64
@@ -191,8 +196,9 @@ def _fused_impl(tokens, p1, p2, *, t, heads):
 
     # wider channels (C=640): one attention per pallas_call so only one
     # stage's weights are resident — the intermediate makes one cheap HBM
-    # round trip, the group=8 slab (the thing that actually matters,
-    # measured) is preserved
+    # round trip and the slab can stay at group=4 (the two-stage kernel at
+    # group=4 measured slower than XLA; halving resident weights is what
+    # turned it into a win)
     group = _pick_group(rows, c, 1)
     blk = 128 * group
     for w, p in ((w1, p1), (w2, p2)):

@@ -378,7 +378,16 @@ def temporal_transformer(
         use_fused = (
             not causal
             and impl == "auto"
-            and "relative_position_k" not in pb["attn1"]
+            # the kernel handles neither rel-pos bias nor qkv projection
+            # biases (to_out bias is) — require their absence on BOTH attns
+            # so forward and custom-vjp backward stay the same function
+            and all(
+                "relative_position_k" not in pb[a]
+                and "bias" not in pb[a]["to_q"]
+                and "bias" not in pb[a]["to_k"]
+                and "bias" not in pb[a]["to_v"]
+                for a in ("attn1", "attn2")
+            )
             and os.environ.get("MUDG_FUSED_TEMPORAL", "1") == "1"
         )
         if use_fused:

@@ -166,9 +166,6 @@ def test_domain_cross_attention_identity_at_init():
     np.testing.assert_allclose(np.asarray(out_with), np.asarray(out_without), atol=1e-5)
 
 
-import pytest
-
-
 @pytest.mark.parametrize(
     "heads,c,n",
     [
@@ -181,10 +178,7 @@ def test_fused_temporal_double_attn_parity(heads, c, n):
     mode) matches the XLA reference implementation, and its custom-vjp
     gradients are exactly the XLA path's gradients. Covers both dispatch
     shapes: the one-kernel double-attention and the per-stage variant."""
-    import numpy as np
-
     from mudg_tpu.kernels import temporal_attn as TA
-    from mudg_tpu.nn import attention as A
 
     rng = jax.random.PRNGKey(0)
     t = 16
@@ -208,8 +202,8 @@ def test_fused_temporal_double_attn_parity(heads, c, n):
     def loss_xla(x, a, b):
         return jnp.sum(TA._xla_impl(x, a, b, t=t, heads=heads) ** 2)
 
-    gf = jax.grad(loss_fused, argnums=(0, 1))(tokens, p1, p2)
-    gx = jax.grad(loss_xla, argnums=(0, 1))(tokens, p1, p2)
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(tokens, p1, p2)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(tokens, p1, p2)
     # bwd re-runs the XLA impl under jax.vjp; the only difference is the
     # cotangent scale from the slightly different fused forward inside **2
     np.testing.assert_allclose(np.asarray(gf[0]), np.asarray(gx[0]),
@@ -218,4 +212,4 @@ def test_fused_temporal_double_attn_parity(heads, c, n):
         lambda a_, b_: np.testing.assert_allclose(
             np.asarray(a_), np.asarray(b_),
             rtol=0.1, atol=5e-2 * max(float(np.abs(np.asarray(b_)).max()), 1e-6)),
-        gf[1], gx[1])
+        (gf[1], gf[2]), (gx[1], gx[2]))
