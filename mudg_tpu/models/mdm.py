@@ -154,7 +154,7 @@ def denoise(params, cfg: MDMConfig, z_noisy, t, c_concat, context, class_label,
 
 def training_loss(
     params, cfg: MDMConfig, sched_arrays: Mapping[str, jnp.ndarray], batch,
-    rng, *, null_tokens, train_unet=True, impl="auto", remat=True,
+    rng, *, null_tokens, train_unet=True, impl="train", remat=True,
     compute_dtype=jnp.bfloat16,
 ):
     """shared_step/p_losses for the MDM (ddpm3d.py:1056-1149, 741-788).

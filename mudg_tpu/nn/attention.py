@@ -30,6 +30,17 @@ from . import functional as F
 # 1.48 ms dense, scripts/attnbench.py).
 FLASH_MIN_SEQ = 512
 
+# `impl` vocabulary, threaded through every transformer entry point:
+#   "auto"  — inference default: all Pallas kernels eligible.
+#   "train" — like auto, but kernels whose custom_vjp REPLAYS the XLA math
+#             (fused temporal double-attention, fused GEGLU) are disabled:
+#             under remat their backward pays fused_fwd + xla_fwd + xla_bwd,
+#             a measured net LOSS vs plain XLA (-1.6%/step for the temporal
+#             kernel alone, scripts/trainfused.py). Flash attention keeps its
+#             real backward kernels and stays on.
+#   "flash" — force the flash kernel where shapes allow (tests).
+_AUTO = ("auto", "train")
+
 
 def _flash_available():
     try:
@@ -61,7 +72,7 @@ def attend(q, k, v, *, bias=None, causal=False, impl="auto"):
     )
     use_flash = eligible and (
         (impl == "flash" and _flash_available())
-        or (impl == "auto" and q.shape[1] >= FLASH_MIN_SEQ and _flash_available())
+        or (impl in _AUTO and q.shape[1] >= FLASH_MIN_SEQ and _flash_available())
     )
     if use_flash:
         from ..kernels.flash_attention import flash_attention
@@ -73,7 +84,7 @@ def attend(q, k, v, *, bias=None, causal=False, impl="auto"):
     # ds1 shape; /tmp-probe recorded in docs/STATE.md). The MXU sees
     # (128, D) @ (D, 128) instead of 16x16 tiles.
     if (
-        bias is None and not causal and impl == "auto"
+        bias is None and not causal and impl in _AUTO
         and jax.default_backend() == "tpu"
         and q.shape[1] == k.shape[1] == v.shape[1]
         and q.shape[1] <= 64 and 128 % q.shape[1] == 0
@@ -88,7 +99,7 @@ def attend(q, k, v, *, bias=None, causal=False, impl="auto"):
     # eat the MXU gain; scripts/kernelbench.py). Opt-in via MUDG_SHORT_ATTN=1
     # for future tuning.
     if (
-        bias is None and not causal and impl == "auto"
+        bias is None and not causal and impl in _AUTO
         and os.environ.get("MUDG_SHORT_ATTN") == "1" and _short_kernels_on()
     ):
         from ..kernels import short_attention as SA
@@ -260,16 +271,19 @@ def joint_cross_attention(p, x, *, heads, num_tasks, impl="auto"):
     return F.linear(p["to_out"]["0"], _merge_heads(out))
 
 
-def feed_forward(p, x):
+def feed_forward(p, x, impl="auto"):
     """GEGLU feed-forward (attention.py:579-606): net.0=GEGLU, net.2=Linear.
 
     On TPU this runs as one fused Pallas kernel (kernels/mlp.py) that keeps
     the (M, 8C) intermediate in VMEM — XLA's version makes two HBM round
-    trips through it (38% vs ~70% of peak at ds1, scripts/opbench.py)."""
+    trips through it (38% vs ~70% of peak at ds1, scripts/opbench.py).
+    Disabled for impl="train": its custom_vjp replays the XLA math, which
+    under remat costs an extra forward per FF in the backward pass."""
     w1 = p["net"]["0"]["proj"]["weight"]
     w2 = p["net"]["2"]["weight"]
     if (
-        os.environ.get("MUDG_FUSED_FF", "1") == "1"
+        impl != "train"
+        and os.environ.get("MUDG_FUSED_FF", "1") == "1"
         and jax.default_backend() == "tpu"
     ):
         from ..kernels import mlp as M
@@ -295,10 +309,36 @@ def basic_transformer_block(
 ):
     """self-attn -> (joint task attn) -> cross-attn -> FF with pre-LN
     residuals (attention.py:392-400)."""
-    x = cross_attention(
-        p["attn1"], F.layer_norm(p["norm1"], x), None,
-        heads=heads, causal=causal, temporal_length=temporal_length, impl=impl,
-    ) + x
+    c = x.shape[-1]
+    # Fused spatial self-attention block (kernels/spatial_attn.py): LN ->
+    # full-width qkv -> whole-KV softmax -> out-proj -> +residual in one
+    # kernel. ds1 4.13 vs 5.39 ms, ds2 measured vs the flash path in
+    # scripts/sattn.py. Ineligible shapes (temporal T=16 rows, ds4 C=1280
+    # weights, MDM1024's L=9216 KV) keep the flash/dense path below.
+    use_sfused = (
+        not causal
+        and impl == "auto"
+        and "relative_position_k" not in p["attn1"]
+        and all("bias" not in p["attn1"][k] for k in ("to_q", "to_k", "to_v"))
+        # kernel assumes square full-width projections (inner == C)
+        and p["attn1"]["to_q"]["weight"].shape == (c, c)
+        and p["attn1"]["to_out"]["0"]["weight"].shape == (c, c)
+        and os.environ.get("MUDG_FUSED_SPATIAL", "1") == "1"
+    )
+    if use_sfused:
+        from ..kernels import spatial_attn as SP
+
+        use_sfused = SP.eligible(x, c, heads)
+    if use_sfused:
+        from ..kernels import spatial_attn as SP
+
+        x = SP.fused_self_attention(x, p["norm1"], p["attn1"], heads)
+    else:
+        x = cross_attention(
+            p["attn1"], F.layer_norm(p["norm1"], x), None,
+            heads=heads, causal=causal, temporal_length=temporal_length,
+            impl=impl,
+        ) + x
     if "attn_joint" in p:
         x = joint_cross_attention(
             p["attn_joint"], F.layer_norm(p["norm_joint"], x),
@@ -309,7 +349,7 @@ def basic_transformer_block(
         heads=heads, image_cross=image_cross, ip_scale=ip_scale,
         text_len=text_len, temporal_length=temporal_length, impl=impl,
     ) + x
-    x = feed_forward(p["ff"], F.layer_norm(p["norm3"], x)) + x
+    x = feed_forward(p["ff"], F.layer_norm(p["norm3"], x), impl=impl) + x
     return x
 
 
@@ -401,7 +441,8 @@ def temporal_transformer(
                 x_ = TA.fused_double_self_attn(
                     x_, {"norm": pb_["norm1"], **pb_["attn1"]},
                     {"norm": pb_["norm2"], **pb_["attn2"]}, t, heads)
-                return feed_forward(pb_["ff"], F.layer_norm(pb_["norm3"], x_)) + x_
+                return feed_forward(pb_["ff"], F.layer_norm(pb_["norm3"], x_),
+                                    impl=impl) + x_
 
             if remat:
                 fused_block = jax.checkpoint(fused_block)

@@ -124,7 +124,7 @@ def make_train_step(
     null_tokens,
     *,
     grad_mask=None,
-    impl: str = "auto",
+    impl: str = "train",
     remat: bool = True,
     donate: bool = True,
 ):

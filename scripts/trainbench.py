@@ -51,7 +51,7 @@ def main(bs=1, remat=True, grad_only=False):
             p = TS.merge_params(tr, fz)
             loss, _ = M.training_loss(
                 p, cfg, sched_arrays, batch, key,
-                null_tokens=null_tokens, impl="auto", remat=remat)
+                null_tokens=null_tokens, impl="train", remat=remat)
             return loss
 
         @jax.jit
@@ -77,7 +77,7 @@ def main(bs=1, remat=True, grad_only=False):
         return
 
     step = TS.make_train_step(cfg, tc, frozen, sched_arrays, null_tokens,
-                              impl="auto", remat=remat, donate=True)
+                              impl="train", remat=remat, donate=True)
 
     print("# compiling train step", flush=True)
     t0 = time.perf_counter()
