@@ -12,8 +12,11 @@ q/k/v round trips. This kernel keeps everything resident in VMEM per slab:
     x_slab (128, C) -> LN1 -> per-head qkv -> block-diag softmax(128x128)
     -> out-proj accumulate -> +residual -> LN2 -> second attention -> +res
 
-Per-head weights are pre-reshaped on host to (H, C, 64) / (H, 64, C) so the
-kernel never slices the lane dimension (Mosaic cannot). The softmax runs in
+All projections run full width ((C, C) dots); each head's 64 lanes are
+extracted with static lane slices inside the kernel (Mosaic-legal, unlike
+lane reshapes or bf16 pltpu.roll). This doubled throughput over a per-head
+(C, 64)-dot version whose N=64 padded half the MXU away: 2.49 -> 1.74 ms at
+C=320, 1.97 -> 1.11 ms at C=640 (scripts/tattn2.py). The softmax runs in
 base 2 with scale*log2(e) folded into Wq on host (same trick as
 flash_attention.py; probabilities are mathematically unchanged).
 
@@ -47,24 +50,30 @@ def _interpret() -> bool:
 
 def _attn_stage(x, lnw, lnb, wq, wk, wv, wo, bo, mask, heads, group):
     """One LN -> block-diag self-attention -> out-proj -> +residual stage on
-    a (group*128, C) row block held in VMEM. The projections run at
-    M=group*128 (MXU-efficient); the 128x128 attention cores run as one
-    batched dot over the `group` slabs per head. Returns f32."""
-    rows = x.shape[0]
+    a (group*128, C) row block held in VMEM. All four projections run FULL
+    WIDTH ((C, C) dots — an earlier per-head (C, 64) version wasted half the
+    MXU on N=64 lane padding; full-width measured 2.49 -> 1.74 ms at C=320,
+    1.97 -> 1.11 at C=640, scripts/tattn2.py). Heads are extracted with
+    64-offset lane SLICES, which are Mosaic-legal (bf16 pltpu.roll is not —
+    it crashes the compiler; scripts/roll_probe.py). The 128x128 attention
+    cores run as one batched dot over the `group` slabs per head. Returns f32."""
+    rows, c = x.shape
+    d = c // heads
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean((xf - mean) ** 2, axis=-1, keepdims=True)
     xn = ((xf - mean) * jax.lax.rsqrt(var + 1e-5) * lnw + lnb).astype(jnp.bfloat16)
 
-    acc = jnp.zeros(x.shape, jnp.float32)
+    q = jax.lax.dot(xn, wq, preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    k = jax.lax.dot(xn, wk, preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    v = jax.lax.dot(xn, wv, preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+
+    def head(x2, h):
+        return x2[:, h * d:(h + 1) * d].reshape(group, 128, d)
+
+    outs = []
     for h in range(heads):
-        q = jax.lax.dot(xn, wq[h], preferred_element_type=jnp.float32)
-        k = jax.lax.dot(xn, wk[h], preferred_element_type=jnp.float32)
-        v = jax.lax.dot(xn, wv[h], preferred_element_type=jnp.float32)
-        d = q.shape[-1]
-        q3 = q.astype(jnp.bfloat16).reshape(group, 128, d)
-        k3 = k.astype(jnp.bfloat16).reshape(group, 128, d)
-        v3 = v.astype(jnp.bfloat16).reshape(group, 128, d)
+        q3, k3, v3 = head(q, h), head(k, h), head(v, h)
         s = jax.lax.dot_general(
             q3, k3, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -77,10 +86,10 @@ def _attn_stage(x, lnw, lnb, wq, wk, wv, wo, bo, mask, heads, group):
             p.astype(jnp.bfloat16), v3, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # (G, 128, d)
-        acc = acc + jax.lax.dot(
-            o.astype(jnp.bfloat16).reshape(rows, d), wo[h],
-            preferred_element_type=jnp.float32)
-    return xf + acc + bo
+        outs.append(o.reshape(rows, d).astype(jnp.bfloat16))
+    o_all = jnp.concatenate(outs, axis=1)  # (rows, C), head-major lanes
+    out = jax.lax.dot(o_all, wo, preferred_element_type=jnp.float32)
+    return xf + out + bo
 
 
 def _kernel(x_ref,
@@ -91,28 +100,31 @@ def _kernel(x_ref,
     r = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0) // t
     c = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1) // t
     mask = r == c
-    h1 = _attn_stage(x, ln1w[...], ln1b[...], wq1, wk1, wv1, wo1, bo1[...],
-                     mask, heads, group)
-    h2 = _attn_stage(h1.astype(x.dtype), ln2w[...], ln2b[...], wq2, wk2, wv2,
-                     wo2, bo2[...], mask, heads, group)
+    h1 = _attn_stage(x, ln1w[...], ln1b[...], wq1[...], wk1[...], wv1[...],
+                     wo1[...], bo1[...], mask, heads, group)
+    h2 = _attn_stage(h1.astype(x.dtype), ln2w[...], ln2b[...], wq2[...],
+                     wk2[...], wv2[...], wo2[...], bo2[...], mask, heads, group)
     o_ref[...] = h2.astype(o_ref.dtype)
 
 
 def _kernel1(x_ref, lnw, lnb, wq, wk, wv, wo, bo, o_ref, *, t, heads, group):
     """Single-attention variant: only one stage's weights resident, so wider
-    channels (C=640) still fit VMEM with a group=4 slab (group=8 overflows
-    even here; measured 3.51 vs 4.36 ms XLA at group=4)."""
+    channels (C=640) still fit VMEM with a group=4 slab (group=8 overflows —
+    Mosaic compiler crash, consistent with _vmem_est; measured 1.11 ms for
+    both stages vs 2.59 ms XLA at C=640 g=4, scripts/tattn2.py)."""
     x = x_ref[...]
     r = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0) // t
     c = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1) // t
     mask = r == c
-    h = _attn_stage(x, lnw[...], lnb[...], wq, wk, wv, wo, bo[...],
-                    mask, heads, group)
+    h = _attn_stage(x, lnw[...], lnb[...], wq[...], wk[...], wv[...], wo[...],
+                    bo[...], mask, heads, group)
     o_ref[...] = h.astype(o_ref.dtype)
 
 
 def _prep(p, c, heads, *, fold_scale):
-    """attn param dict -> (wq (H,C,64), wk, wv, wo (H,64,C), bo (1,C))."""
+    """attn param dict -> (wq (C,C), wk, wv, wo (C,C), bo (1,C)). Weights
+    stay full width: heads are contiguous 64-lane groups of the inner dim in
+    the torch layout, so the kernel slices lanes instead of pre-splitting."""
     d = c // heads
     wq = p["to_q"]["weight"].astype(jnp.bfloat16)
     if fold_scale:
@@ -122,9 +134,7 @@ def _prep(p, c, heads, *, fold_scale):
     wo = p["to_out"]["0"]["weight"].astype(jnp.bfloat16)
     bo = p["to_out"]["0"].get("bias")
     bo = (jnp.zeros((c,), jnp.float32) if bo is None else bo.astype(jnp.float32))
-    split = lambda w: w.reshape(c, heads, d).transpose(1, 0, 2)   # (H, C, 64)
-    wo_h = wo.reshape(heads, d, c)                                 # (H, 64, C)
-    return split(wq), split(wk), split(wv), wo_h, bo.reshape(1, c)
+    return wq, wk, wv, wo, bo.reshape(1, c)
 
 
 def eligible(x, c, heads, t) -> bool:
@@ -137,22 +147,24 @@ def eligible(x, c, heads, t) -> bool:
         and t <= 64 and 128 % t == 0
         and (x.shape[0] * t) % 128 == 0
         and c % heads == 0 and (c // heads) == 64
-        # measured (v5e): C=320 double kernel at group=8: 9.7 -> 7.3 ms/call
-        # integrated; C=640 via two single-stage kernels at group=4: 3.51 vs
-        # 4.36 ms XLA for the double attention. The group=4 DOUBLE kernel at
-        # C=640 was slower than XLA (6.5 vs 5.9 integrated) — never used.
-        # C=1280: one stage's weights alone overflow VMEM -> XLA (which is
+        # measured (v5e, full-width projections): C=320 double kernel at
+        # group=8: 1.74 ms vs 5.00 XLA; C=640 via two single-stage kernels
+        # at group=4: 1.11 ms vs 2.59 XLA (scripts/tattn2.py). C=1280: one
+        # stage's full-width weights alone are 13.1 MB -> XLA (which is
         # near its roofline there anyway).
         and _pick_group(x.shape[0] * t, c, 1) >= 4
     )
 
 
 def _vmem_est(g, c, stages):
-    # weights (`stages` attns) + bf16 in/out blocks + f32 temporaries
-    # (xf/acc[/h1]) + the (G,128,128) f32 score/prob buffers
+    # weights (`stages` attns) + ~24 B/row-element of block temporaries
+    # (in/out + xn/q/k/v/o_all bf16 + xf/out f32) + the (G,128,128) f32
+    # score/prob buffers. Validated against Mosaic at C=320/640: every
+    # measured-OK config is <= 13 MB under this model and every
+    # compiler-crash config exceeds it (scripts/tattn2.py).
     blk_ = 128 * g
     return (4 * stages * c * c * 2
-            + blk_ * c * (2 * 2 + (2 + stages) * 4)
+            + blk_ * c * 24
             + g * 128 * 128 * 4 * 2)
 
 
@@ -196,9 +208,8 @@ def _fused_impl(tokens, p1, p2, *, t, heads):
 
     # wider channels (C=640): one attention per pallas_call so only one
     # stage's weights are resident — the intermediate makes one cheap HBM
-    # round trip and the slab can stay at group=4 (the two-stage kernel at
-    # group=4 measured slower than XLA; halving resident weights is what
-    # turned it into a win)
+    # round trip and the slab can stay at group=4 (the double kernel at
+    # C=640 needs 2x weights resident and overflows VMEM at any group)
     group = _pick_group(rows, c, 1)
     blk = 128 * group
     for w, p in ((w1, p1), (w2, p2)):
