@@ -213,3 +213,40 @@ def test_fused_temporal_double_attn_parity(heads, c, n):
             np.asarray(a_), np.asarray(b_),
             rtol=0.1, atol=5e-2 * max(float(np.abs(np.asarray(b_)).max()), 1e-6)),
         (gf[1], gf[2]), (gx[1], gx[2]))
+
+
+@pytest.mark.parametrize("heads,c,l", [(2, 128, 128), (3, 192, 256)])
+def test_fused_spatial_self_attn_parity(heads, c, l):
+    """kernels/spatial_attn: the fused LN->self-attn->+res kernel (interpret
+    mode) matches the XLA reference, and its custom-vjp gradients are the
+    XLA path's gradients. Covers whole-seq and chunked bq dispatch."""
+    from mudg_tpu.kernels import spatial_attn as SP
+
+    rng = jax.random.PRNGKey(0)
+    p_attn = A.init_cross_attention(rng, c, heads=heads, dim_head=c // heads)
+    p_attn = jax.tree.map(lambda a: a.astype(jnp.float32), p_attn)
+    p_norm = {"weight": jnp.ones((c,), jnp.float32) * 1.1,
+              "bias": jnp.full((c,), 0.05, jnp.float32)}
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, l, c), jnp.float32)
+
+    assert SP._pick_bq(l, c) > 0
+    ref = SP._xla_impl(x, p_norm, p_attn, heads=heads)
+    out = SP._fused_impl(x, p_norm, p_attn, heads=heads)
+    assert out.shape == ref.shape
+    scale = float(jnp.abs(ref).max())
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-2 * scale)
+
+    def loss_fused(x, n_, a_):
+        return jnp.sum(SP.fused_self_attention(x, n_, a_, heads) ** 2)
+
+    def loss_xla(x, n_, a_):
+        return jnp.sum(SP._xla_impl(x, n_, a_, heads=heads) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(x, p_norm, p_attn)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(x, p_norm, p_attn)
+    jax.tree.map(
+        lambda a_, b_: np.testing.assert_allclose(
+            np.asarray(a_), np.asarray(b_),
+            rtol=0.1, atol=5e-2 * max(float(np.abs(np.asarray(b_)).max()), 1e-6)),
+        gf, gx)
