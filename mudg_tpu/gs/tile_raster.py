@@ -306,16 +306,25 @@ def _bwd_kernel(bounds_ref, feats_hbm, gout_ref, dfeats_hbm, buf, gbuf, sem,
     g_d = gout_ref[0, 3:4, :]
     g_t = gout_ref[0, 4:5, :]
 
+    # double-buffered chunk loads (same pattern as the forward kernel): the
+    # next chunk's DMA overlaps the current chunk's compute in both sweeps
     def load(i):
-        cp = pltpu.make_async_copy(
-            feats_hbm.at[pl.ds((start + i * CK) // 8, CK // 8), :], buf, sem)
-        cp.start()
-        cp.wait()
-        return _kernel_unpack(buf[...])
+        _chunk_copy(feats_hbm, buf, sem, start, i).wait()
+        return _kernel_unpack(buf[i % 2])
+
+    def prefetch(i):
+        @pl.when(i + 1 < nck)
+        def _():
+            _chunk_copy(feats_hbm, buf, sem, start, i + 1).start()
+
+    @pl.when(nck > 0)
+    def _prefetch0():
+        _chunk_copy(feats_hbm, buf, sem, start, 0).start()
 
     # ---- sweep 1: total sum of w*G and final T ----------------------------
     def body1(c):
         i, T, wg = c
+        prefetch(i)
         f = load(i)
         alpha0, *_ = _chunk_alpha(f, px, py, count - i * CK)
         lg0 = jnp.log(1.0 - alpha0)
@@ -332,15 +341,32 @@ def _bwd_kernel(bounds_ref, feats_hbm, gout_ref, dfeats_hbm, buf, gbuf, sem,
         return (i < nck) & (jnp.max(T) > T_MIN)
 
     z = jnp.zeros((1, NPIX), jnp.float32)
-    _, t_final, wg_total = jax.lax.while_loop(
+    i1_end, t_final, wg_total = jax.lax.while_loop(
         cond1, body1, (jnp.int32(0), jnp.ones((1, NPIX), jnp.float32), z))
+
+    @pl.when(i1_end < nck)
+    def _drain1():  # early exit leaves the prefetched chunk in flight
+        _chunk_copy(feats_hbm, buf, sem, start, i1_end).wait()
+
+    # re-prime the pipeline for sweep 2
+    @pl.when(nck > 0)
+    def _prefetch0b():
+        _chunk_copy(feats_hbm, buf, sem, start, 0).start()
 
     tail = t_final * g_t  # contribution of dT_final through every (1-alpha)
 
     # ---- sweep 2: prefix + per-pair grads (runs ALL chunks so every pair
-    # row of this tile gets written, even past saturation) -------------------
+    # row of this tile gets written, even past saturation). Grad writes are
+    # double-buffered too: slot i%2 is reused only after write i-2 lands ----
+    def wr_copy(i, slot):
+        return pltpu.make_async_copy(
+            gbuf.at[slot],
+            dfeats_hbm.at[pl.ds((start + i * CK) // 8, CK // 8), :],
+            wsem.at[slot])
+
     def body2(c):
         i, T, cum = c
+        prefetch(i)
         f = load(i)
         alpha0, power, g2d, dx, dy = _chunk_alpha(f, px, py, count - i * CK)
         lg0 = jnp.log(1.0 - alpha0)
@@ -379,11 +405,13 @@ def _bwd_kernel(bounds_ref, feats_hbm, gout_ref, dfeats_hbm, buf, gbuf, sem,
         grads = jnp.concatenate(
             [dmux, dmuy, dca, dcb, dcc, dop, dr, dg, db, dd,
              zc, zc, zc, zc, zc, zc], axis=1)
-        gbuf[...] = _kernel_pack(grads)
-        cp = pltpu.make_async_copy(
-            gbuf, dfeats_hbm.at[pl.ds((start + i * CK) // 8, CK // 8), :], wsem)
-        cp.start()
-        cp.wait()
+
+        @pl.when(i >= 2)
+        def _reclaim():  # slot reused two iterations later
+            wr_copy(i - 2, i % 2).wait()
+
+        gbuf[i % 2] = _kernel_pack(grads)
+        wr_copy(i, i % 2).start()
         cum = cum + jnp.sum(wG, axis=0, keepdims=True)
         T = T * jnp.exp(jnp.sum(jnp.log(1.0 - alpha), axis=0, keepdims=True))
         return i + 1, T, cum
@@ -391,8 +419,16 @@ def _bwd_kernel(bounds_ref, feats_hbm, gout_ref, dfeats_hbm, buf, gbuf, sem,
     def cond2(c):
         return c[0] < nck
 
-    jax.lax.while_loop(
+    i2_end, _, _ = jax.lax.while_loop(
         cond2, body2, (jnp.int32(0), jnp.ones((1, NPIX), jnp.float32), z))
+
+    @pl.when(i2_end >= 2)
+    def _drain_w2():
+        wr_copy(i2_end - 2, i2_end % 2).wait()
+
+    @pl.when(i2_end >= 1)
+    def _drain_w1():
+        wr_copy(i2_end - 1, (i2_end - 1) % 2).wait()
     # dummy aliasing write so the out ref is considered produced
     # (all real writes went through DMA)
 
@@ -408,10 +444,10 @@ def _composite_bwd_impl(feats, bounds, gout, *, n_tiles, tw):
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((CK // 8, 8 * NFEAT), jnp.float32),
-            pltpu.VMEM((CK // 8, 8 * NFEAT), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, CK // 8, 8 * NFEAT), jnp.float32),
+            pltpu.VMEM((2, CK // 8, 8 * NFEAT), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
