@@ -290,7 +290,13 @@ def unet_apply(
             return _apply_block(p, plan, h, emb, context, cfg=cfg,
                                 batch_size=b, impl=impl, drop_rng=drop_rng)
         if remat:
-            f = jax.checkpoint(f)
+            # remat=True: full per-block recompute (lowest memory).
+            # remat="dots": save matmul/conv outputs, recompute only
+            # elementwise chains in the backward — trades HBM for one fewer
+            # forward's worth of MXU work per block.
+            policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                      if remat == "dots" else None)
+            f = jax.checkpoint(f, policy=policy)
         return f(p, h, emb, context)
 
     hs = []
