@@ -68,6 +68,42 @@ def _ff_kernel(x_ref, w1v_ref, w1g_ref, b1_ref, w2_ref, b2_ref, o_ref,
         o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
 
+def _ff_ln_kernel(x_ref, lnw_ref, lnb_ref, w1v_ref, w1g_ref, b1_ref, w2_ref,
+                  b2_ref, o_ref, acc_ref, xn_ref, *, n_ic):
+    """LN -> GEGLU FF -> +residual variant: the pre-norm and the residual
+    add ride the same kernel, saving the LN/add HBM round trips. xn is
+    computed once per row block (ic == 0) into scratch and reused across
+    intermediate chunks."""
+    ic = pl.program_id(1)
+
+    @pl.when(ic == 0)
+    def _init():
+        xf = x_ref[...].astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+        xn_ref[...] = ((xf - mu) * jax.lax.rsqrt(var + 1e-5)
+                       * lnw_ref[...] + lnb_ref[...]).astype(xn_ref.dtype)
+        acc_ref[...] = jnp.broadcast_to(
+            b2_ref[...].astype(jnp.float32), acc_ref.shape
+        )
+
+    x = xn_ref[...]
+    u = jax.lax.dot(x, w1v_ref[...], preferred_element_type=jnp.float32)
+    g = jax.lax.dot(x, w1g_ref[...], preferred_element_type=jnp.float32)
+    b1 = b1_ref[...].astype(jnp.float32)
+    u = u + b1[0]
+    g = g + b1[1]
+    h = (u * g * 0.5 * (1.0 + _erf(g * (2.0 ** -0.5)))).astype(x.dtype)
+    acc_ref[...] += jax.lax.dot(
+        h, w2_ref[...], preferred_element_type=jnp.float32
+    )
+
+    @pl.when(ic == n_ic - 1)
+    def _store():
+        o_ref[...] = (acc_ref[...]
+                      + x_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+
+
 def _pick_chunk(inner: int) -> int:
     for s in (1024, 768, 640, 512, 384, 256, 128):
         if inner % s == 0:
@@ -142,6 +178,90 @@ def _ff_apply(x, w1, b1, w2, b2):
         interpret=_interpret(),
     )(xf, w1, w1, b1m, w2, b2[None])
     return out.reshape(orig_shape)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def fused_geglu_ff_block(x, lnw, lnb, w1, b1, w2, b2):
+    """LayerNorm(x) -> GEGLU FF -> + x, fused. x: (..., C)."""
+    return _ff_block_apply(x, lnw, lnb, w1, b1, w2, b2)
+
+
+def _ff_block_apply(x, lnw, lnb, w1, b1, w2, b2):
+    orig_shape = x.shape
+    c = x.shape[-1]
+    m = x.size // c
+    xf = x.reshape(m, c)
+    inner = w1.shape[1] // 2
+
+    s = _pick_chunk(inner)
+    if c >= 1024:
+        while s > 512 or inner % s:
+            s //= 2
+
+    def est(bm_):
+        # x + out blocks (double-buffered) + w1 halves + w2 (db consts) +
+        # f32 acc + xn scratch + f32 LN temporaries. Calibrated: C=512
+        # s=1024 bm=1024 OOMs at 18.0M real (est 17.9M); C=320 bm=1024
+        # compiles (est 9.6M); C=640 bm=1024 OOMs at 18.2M.
+        return (bm_ * c * 8 + 2 * 2 * c * s * 2 + 2 * s * c * 2
+                + bm_ * c * 4 + bm_ * c * 2 + 2 * bm_ * c * 4)
+
+    bm = next((b for b in (1024, 512, 256, 128)
+               if m % b == 0 and est(b) < int(14.5 * 2**20)), 128)
+    n_ic = inner // s
+    while m % bm:
+        bm //= 2
+
+    w1 = w1.astype(x.dtype)
+    w2 = w2.astype(x.dtype)
+    b1m = jnp.stack([b1[:inner], b1[inner:]]).astype(jnp.float32)
+    b2 = b2.astype(jnp.float32)
+    lnw = lnw.astype(jnp.float32).reshape(1, c)
+    lnb = lnb.astype(jnp.float32).reshape(1, c)
+
+    grid = (m // bm, n_ic)
+    out = pl.pallas_call(
+        functools.partial(_ff_ln_kernel, n_ic=n_ic),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, c), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, s), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, s), lambda i, j: (0, j + n_ic), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, s), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((s, c), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, c), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, c), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, c), jnp.float32),
+                        pltpu.VMEM((bm, c), x.dtype)],
+        interpret=_interpret(),
+    )(xf, lnw, lnb, w1, w1, b1m, w2, b2[None])
+    return out.reshape(orig_shape)
+
+
+def _ff_block_math(x, lnw, lnb, w1, b1, w2, b2):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+    xn = ((xf - mu) * jax.lax.rsqrt(var + 1e-5) * lnw.astype(jnp.float32)
+          + lnb.astype(jnp.float32)).astype(x.dtype)
+    return _ff_math(xn, w1, b1, w2, b2) + x
+
+
+def _ff_block_vjp_fwd(x, lnw, lnb, w1, b1, w2, b2):
+    return _ff_block_apply(x, lnw, lnb, w1, b1, w2, b2), (x, lnw, lnb, w1, b1, w2, b2)
+
+
+def _ff_block_vjp_bwd(res, g):
+    _, vjp = jax.vjp(_ff_block_math, *res)
+    return vjp(g)
+
+
+fused_geglu_ff_block.defvjp(_ff_block_vjp_fwd, _ff_block_vjp_bwd)
 
 
 def _ff_math(x, w1, b1, w2, b2):

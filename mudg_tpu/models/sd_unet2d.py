@@ -40,7 +40,7 @@ import jax.numpy as jnp
 
 from ..core.schedules import timestep_embedding
 from ..nn import functional as F
-from ..nn.attention import attend, feed_forward, init_cross_attention, init_feed_forward
+from ..nn.attention import attend, feed_forward_block, init_cross_attention, init_feed_forward
 
 
 @dataclasses.dataclass(frozen=True)
@@ -124,7 +124,7 @@ def _basic_block(p, x, context, *, heads, ref_mode, bank):
     out = attend(q, k, v)
     x = F.linear(p["attn2"]["to_out"]["0"], out.reshape(xn.shape[0], xn.shape[1], -1)) + x
 
-    x = feed_forward(p["ff"], F.layer_norm(p["norm3"], x)) + x
+    x = feed_forward_block(p["ff"], p["norm3"], x)
     return x
 
 

@@ -303,6 +303,43 @@ def feed_forward(p, x, impl="auto"):
     return F.linear(p["net"]["2"], h)
 
 
+def _ff_biases(p, x, w1, w2):
+    inner = w1.shape[1] // 2
+    b1 = p["net"]["0"]["proj"].get("bias")
+    b2 = p["net"]["2"].get("bias")
+    if b1 is None:
+        b1 = jnp.zeros((2 * inner,), x.dtype)
+    if b2 is None:
+        b2 = jnp.zeros((w2.shape[1],), x.dtype)
+    return b1, b2
+
+
+def feed_forward_block(p_ff, p_norm, x, impl="auto"):
+    """LayerNorm -> GEGLU feed-forward -> +residual. On TPU (inference) the
+    whole block runs as one Pallas kernel (kernels/mlp.fused_geglu_ff_block):
+    the pre-norm and residual add ride the FF kernel, saving their HBM round
+    trips. impl="train" and ineligible shapes use the unfused composition."""
+    if (
+        impl != "train"
+        and os.environ.get("MUDG_FUSED_FF", "1") == "1"
+        and jax.default_backend() == "tpu"
+        # measured (v5e, chained harness): the LN+res fusion wins only at
+        # narrow widths (C=320: 1.96 vs 2.07 ms); at C=640 the bm=512
+        # VMEM concession cancels it (1.37 vs 1.35) and C=1280 is slightly
+        # worse (1.28 vs 1.23) — those keep LN/res in XLA + plain FF kernel
+        and x.shape[-1] < 640
+    ):
+        from ..kernels import mlp as M
+
+        w1 = p_ff["net"]["0"]["proj"]["weight"]
+        if M.geglu_ff_eligible(x, w1):
+            w2 = p_ff["net"]["2"]["weight"]
+            b1, b2 = _ff_biases(p_ff, x, w1, w2)
+            return M.fused_geglu_ff_block(
+                x, p_norm["weight"], p_norm["bias"], w1, b1, w2, b2)
+    return feed_forward(p_ff, F.layer_norm(p_norm, x), impl=impl) + x
+
+
 def basic_transformer_block(
     p, x, context=None, *, heads, image_cross=False, ip_scale=1.0, text_len=77,
     causal=False, temporal_length=None, num_tasks=1, impl="auto",
@@ -349,7 +386,7 @@ def basic_transformer_block(
         heads=heads, image_cross=image_cross, ip_scale=ip_scale,
         text_len=text_len, temporal_length=temporal_length, impl=impl,
     ) + x
-    x = feed_forward(p["ff"], F.layer_norm(p["norm3"], x), impl=impl) + x
+    x = feed_forward_block(p["ff"], p["norm3"], x, impl=impl)
     return x
 
 
@@ -441,8 +478,8 @@ def temporal_transformer(
                 x_ = TA.fused_double_self_attn(
                     x_, {"norm": pb_["norm1"], **pb_["attn1"]},
                     {"norm": pb_["norm2"], **pb_["attn2"]}, t, heads)
-                return feed_forward(pb_["ff"], F.layer_norm(pb_["norm3"], x_),
-                                    impl=impl) + x_
+                return feed_forward_block(pb_["ff"], pb_["norm3"], x_,
+                                          impl=impl)
 
             if remat:
                 fused_block = jax.checkpoint(fused_block)

@@ -250,3 +250,44 @@ def test_fused_spatial_self_attn_parity(heads, c, l):
             np.asarray(a_), np.asarray(b_),
             rtol=0.1, atol=5e-2 * max(float(np.abs(np.asarray(b_)).max()), 1e-6)),
         gf, gx)
+
+
+def test_fused_geglu_ff_block_parity():
+    """kernels/mlp.fused_geglu_ff_block (LN -> GEGLU FF -> +res in one
+    kernel, interpret mode) matches the unfused composition, gradients via
+    the XLA-replay vjp included."""
+    from mudg_tpu.kernels import mlp as M
+    from mudg_tpu.nn import functional as F
+
+    rng = jax.random.PRNGKey(0)
+    c = 128
+    p_ff = A.init_feed_forward(rng, c)
+    p_ff = jax.tree.map(lambda a: a.astype(jnp.float32), p_ff)
+    lnw = jnp.ones((c,)) * 0.9
+    lnb = jnp.full((c,), -0.02)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 256, c), jnp.float32)
+    w1 = p_ff["net"]["0"]["proj"]["weight"]
+    b1 = p_ff["net"]["0"]["proj"]["bias"]
+    w2 = p_ff["net"]["2"]["weight"]
+    b2 = p_ff["net"]["2"]["bias"]
+
+    ref = A.feed_forward(p_ff, F.layer_norm({"weight": lnw, "bias": lnb}, x)) + x
+    out = M.fused_geglu_ff_block(x, lnw, lnb, w1, b1, w2, b2)
+    scale = float(jnp.abs(ref).max())
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-2 * scale)
+
+    def loss_f(x, w1, b2):
+        return jnp.sum(M.fused_geglu_ff_block(x, lnw, lnb, w1, b1, w2, b2) ** 2)
+
+    def loss_r(x, w1, b2):
+        xn = F.layer_norm({"weight": lnw, "bias": lnb}, x)
+        return jnp.sum((A.feed_forward({"net": {"0": {"proj": {"weight": w1, "bias": b1}},
+                                                "2": {"weight": w2, "bias": b2}}}, xn) + x) ** 2)
+
+    gf = jax.grad(loss_f, argnums=(0, 1))(x, w1, b2)
+    gr = jax.grad(loss_r, argnums=(0, 1))(x, w1, b2)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b),
+            rtol=0.1, atol=5e-2 * max(float(jnp.abs(b).max()), 1e-6))
