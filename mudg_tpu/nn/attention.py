@@ -381,6 +381,12 @@ def basic_transformer_block(
             p["attn_joint"], F.layer_norm(p["norm_joint"], x),
             heads=heads, num_tasks=num_tasks, impl=impl,
         ) + x
+    # NEGATIVE RESULT (v5e, don't redo): a fused image-KV cross-attention
+    # kernel (LN + q-proj + 77/16-token attentions + combine + out-proj +
+    # residual per q-chunk, k/v in XLA) measured SLOWER than this XLA path
+    # (0.97 vs 0.93 ms at ds1, 0.56 vs 0.49 at ds2) — per-head dots against
+    # <=80-row KV leave the MXU idle, the same failure mode as
+    # kernels/short_attention.py. Kernel deleted; the XLA einsum stays.
     x = cross_attention(
         p["attn2"], F.layer_norm(p["norm2"], x), context,
         heads=heads, image_cross=image_cross, ip_scale=ip_scale,

@@ -1,0 +1,107 @@
+"""Per-family UNet-step ablation (current kernels): time the full step, then
+with one op family stubbed to identity at trace time; the difference is that
+family's integrated cost. Chained-scan timing per docs/STATE.md.
+"""
+import functools
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+
+from mudg_tpu.nn import attention as A
+from mudg_tpu.nn import functional as F
+from mudg_tpu.nn import unet3d as U
+
+
+def build():
+    cfg = U.UNetConfig()
+    params = jax.tree.map(
+        lambda s: jnp.full(s.shape, 0.01, jnp.bfloat16),
+        jax.eval_shape(lambda k: U.init_unet(k, cfg), jax.random.PRNGKey(0)))
+    b, t, hh, ww = 2, 16, 40, 64
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, t, hh, ww, cfg.in_channels),
+                          jnp.bfloat16) * 0.1
+    ts = jnp.array([500, 500], jnp.int32)
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (b, 77 + t * 16, 1024),
+                            jnp.bfloat16) * 0.1
+    lab = jnp.zeros((b,), jnp.int32)
+    fs = jnp.full((b,), 10, jnp.int32)
+    return cfg, params, (x, ts, ctx, lab, fs)
+
+
+def timed(fn, params, args, n_long=24, n_short=4):
+    def chain(params, x, ts, ctx, lab, fs, n):
+        def body(c, _):
+            y = fn(params, c, ts, ctx, lab, fs)
+            # out_channels=4 -> feed back into the first 4 input channels
+            c = c.at[..., :4].add(0.01 * y)
+            return c, None
+        y, _ = jax.lax.scan(body, x, None, length=n)
+        return jnp.sum(y.astype(jnp.float32))
+
+    fl = jax.jit(functools.partial(chain, n=n_long))
+    fs_ = jax.jit(functools.partial(chain, n=n_short))
+    float(fl(params, *args)); float(fs_(params, *args))
+
+    def best(f):
+        out = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(f(params, *args))
+            out.append(time.perf_counter() - t0)
+        return min(out)
+
+    return (best(fl) - best(fs_)) / (n_long - n_short)
+
+
+def main():
+    cfg, params, args = build()
+    fn = lambda p, x, ts, ctx, lab, fs: U.unet_apply(
+        p, cfg, x, ts, ctx, c_label=lab, fs=fs)
+
+    base = timed(fn, params, args)
+    print(f"full step: {base*1e3:7.2f} ms", flush=True)
+
+    saved = {}
+
+    def stub(mod, name, repl):
+        saved[(mod, name)] = getattr(mod, name)
+        setattr(mod, name, repl)
+
+    def restore():
+        for (mod, name), v in saved.items():
+            setattr(mod, name, v)
+        saved.clear()
+
+    variants = {
+        "spatial_transformer": lambda: stub(
+            A, "spatial_transformer",
+            lambda p, x, context=None, **kw: x),
+        "temporal_transformer": lambda: stub(
+            A, "temporal_transformer", lambda p, x, **kw: x),
+        "feed_forward_block": lambda: stub(
+            A, "feed_forward_block", lambda pf, pn, x, impl="auto": x),
+        "temporal_conv": lambda: stub(
+            U, "temporal_conv_block",
+            lambda *a, **k: a[1]) if hasattr(U, "temporal_conv_block") else None,
+    }
+    for name, do in variants.items():
+        try:
+            r = do()
+            if r is None and not saved:
+                print(f"-{name}: (no hook)", flush=True)
+                continue
+            t = timed(fn, params, args)
+            print(f"-{name}: {t*1e3:7.2f} ms  (family ~{(base-t)*1e3:6.2f} ms)",
+                  flush=True)
+        except Exception as e:
+            print(f"-{name}: FAIL {type(e).__name__}", flush=True)
+        finally:
+            restore()
+
+
+if __name__ == "__main__":
+    main()
