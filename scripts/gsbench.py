@@ -43,7 +43,11 @@ def bench(fn, *args, reps=5):
 
 def main():
     W, H = 960, 640
-    for n in (200_000, 1_000_000, 2_000_000):
+    import os
+    sizes = (200_000, 1_000_000, 2_000_000)
+    if os.environ.get("GSBENCH_BIG") == "1":
+        sizes = (5_000_000,)
+    for n in sizes:
         g, K, w2c = make_scene(n)
         mp = max(4 * n, 1 << 22)
 
