@@ -49,26 +49,20 @@ def _interpret() -> bool:
 # pair building (XLA): exact tile coverage under one global budget
 # ---------------------------------------------------------------------------
 
-def _pack8(feats):
-    """(P, 16) -> (P/8, 128) with pair j of each 128-block at row j%16,
-    lane-group j//16 — so the kernel's unpack (concat of 8 lane-groups along
-    sublanes) restores depth order exactly. HBM DMAs need 128-aligned lane
-    slices, hence this packing."""
-    p = feats.shape[0]
-    return (
-        feats.reshape(p // CK, 8, 16, NFEAT)
-        .transpose(0, 2, 1, 3)
-        .reshape(p // 8, 8 * NFEAT)
-    )
+# Packed-pair HBM layout: (P/8, 128) rows of 8 pairs x NFEAT lanes, where
+# HBM row r lane-group k of each 128-pair chunk holds the pair of DEPTH RANK
+# k*16 + r — exactly what the kernel's unpack (concat of 8 lane-groups along
+# sublanes) restores to depth order. HBM DMAs need 128-aligned lane slices,
+# hence the packing; the rank interleave is folded into build_pairs' gather
+# indices (_chunk_rank) rather than materialized as a reshape/transpose —
+# an earlier (P/8, 8, 16, NFEAT) transpose form padded NFEAT=16 lanes to 128
+# (8x expansion: 2 x 9.7 GB HLO temps at 5M gaussians, HBM OOM).
 
 
-def _unpack8(f8):
-    p = f8.shape[0] * 8
-    return (
-        f8.reshape(p // CK, 16, 8, NFEAT)
-        .transpose(0, 2, 1, 3)
-        .reshape(p, NFEAT)
-    )
+def _chunk_rank(co):
+    """Within-chunk slot co (0..127, row-major 8-pairs-per-row) -> the depth
+    rank whose pair it must hold: slot (r, k) stores rank k*16 + r."""
+    return (co % 8) * 16 + co // 8
 
 
 def _lane_roll(x, shift):
@@ -80,7 +74,7 @@ def _lane_roll(x, shift):
 
 
 def _kernel_unpack(buf8):
-    """(16, 128) chunk -> (CK, NFEAT) in depth order (inverse of _pack8).
+    """(16, 128) chunk -> (CK, NFEAT) in depth order (inverse of the packed layout).
     Each 16-lane group is rotated to lane offset 0 before the sublane
     concat so all parts share one layout."""
     parts = [buf8[:, :NFEAT]]
@@ -161,8 +155,12 @@ def build_pairs(proj, colors, *, width: int, height: int, max_pairs: int):
         tile_ids, mode="drop")
     t_of = jax.lax.cummax(tmark)
     off = slot_pad - pbounds[t_of]
-    src = jnp.clip(bounds[t_of] + off, 0, max_pairs - 1)
-    keep = off < counts[t_of]
+    # fold the chunk-rank interleave into the gather: slot co of each
+    # 128-pair chunk fetches the pair of depth rank _chunk_rank(co)
+    co = off % CK
+    offp = off - co + _chunk_rank(co)
+    src = jnp.clip(bounds[t_of] + offp, 0, max_pairs - 1)
+    keep = offp < counts[t_of]
     gp = jnp.where(keep, gi_s[src], 0)
 
     # one row-gather from a small per-gaussian feature table
@@ -173,7 +171,7 @@ def build_pairs(proj, colors, *, width: int, height: int, max_pairs: int):
     ], axis=1).astype(jnp.float32)
     feats_pad = jnp.where(keep[:, None], table[gp], 0.0)
 
-    return _pack8(feats_pad), pbounds, n_dropped
+    return feats_pad.reshape(p_pad // 8, 8 * NFEAT), pbounds, n_dropped
 
 
 # ---------------------------------------------------------------------------
