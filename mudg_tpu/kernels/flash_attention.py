@@ -106,14 +106,23 @@ def _flash_fwd(q, k, v):
     bh, lq, d = q.shape
     lk = k.shape[1]
     scale = d**-0.5
-    oneshot = lk <= 4096
+    # oneshot (whole KV resident, plain softmax) extends past lk=4096 as
+    # long as a bq=128 block fits the 16M scoped-vmem limit counting the f32
+    # scores AND their bf16 probability copy (6 B/elem) plus double-buffered
+    # k/v: at MDM1024's s=9216 oneshot beats the online loop 2.91 vs 3.11 ms
+    # at bq=128 (exact same outputs). bq=256 there compiled standalone but
+    # OOM'd at 18.4M inside the full model — stay at 128 for long KV.
+    oneshot = (lk <= 4096
+               or 128 * lk * 6 + 4 * lk * d * 2 < int(14.5 * 2**20))
     # whole-sequence q block when the (LQ, LK) f32 score matrix fits VMEM:
     # at s=640 (ds2) this is 2.1x faster than bq=128 (0.42 vs 0.88 ms,
     # 19 -> 41% of peak — small blocks are grid-overhead-bound)
     if oneshot and lq % 8 == 0 and lq * lk * 4 <= 6 * 2**20:
         bq = lq
     else:
-        bq = _pick_block(lq, (256, 512, 128, 64) if oneshot else (512, 256, 128, 64))
+        cands = (256, 512, 128, 64) if lk <= 4096 else (128, 64)
+        bq = _pick_block(lq, cands) if oneshot else _pick_block(
+            lq, (512, 256, 128, 64))
     bk = _pick_block(lk, (1024, 512, 256, 128, 64))
     assert bq and bk, f"flash attention needs divisible seq lens, got {lq}, {lk}"
 
