@@ -20,6 +20,7 @@ import os
 from functools import partial
 
 import jax
+from jax.ad_checkpoint import checkpoint_name
 import jax.numpy as jnp
 
 from . import functional as F
@@ -376,6 +377,10 @@ def basic_transformer_block(
             heads=heads, causal=causal, temporal_length=temporal_length,
             impl=impl,
         ) + x
+    # named checkpoints: with remat="names" the backward replay reuses these
+    # saved block-level outputs instead of recomputing the attentions/FF
+    # (jax.checkpoint save_only_these_names policy in unet3d.run)
+    x = checkpoint_name(x, "blk_attn1")
     if "attn_joint" in p:
         x = joint_cross_attention(
             p["attn_joint"], F.layer_norm(p["norm_joint"], x),
@@ -392,8 +397,9 @@ def basic_transformer_block(
         heads=heads, image_cross=image_cross, ip_scale=ip_scale,
         text_len=text_len, temporal_length=temporal_length, impl=impl,
     ) + x
+    x = checkpoint_name(x, "blk_attn2")
     x = feed_forward_block(p["ff"], p["norm3"], x, impl=impl)
-    return x
+    return checkpoint_name(x, "blk_ff")
 
 
 def _proj(p, x):
@@ -484,8 +490,10 @@ def temporal_transformer(
                 x_ = TA.fused_double_self_attn(
                     x_, {"norm": pb_["norm1"], **pb_["attn1"]},
                     {"norm": pb_["norm2"], **pb_["attn2"]}, t, heads)
-                return feed_forward_block(pb_["ff"], pb_["norm3"], x_,
-                                          impl=impl)
+                x_ = checkpoint_name(x_, "blk_attn2")
+                return checkpoint_name(
+                    feed_forward_block(pb_["ff"], pb_["norm3"], x_, impl=impl),
+                    "blk_ff")
 
             if remat:
                 fused_block = jax.checkpoint(fused_block)

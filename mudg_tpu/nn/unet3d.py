@@ -291,11 +291,20 @@ def unet_apply(
                                 batch_size=b, impl=impl, drop_rng=drop_rng)
         if remat:
             # remat=True: full per-block recompute (lowest memory).
-            # remat="dots": save matmul/conv outputs, recompute only
-            # elementwise chains in the backward — trades HBM for one fewer
-            # forward's worth of MXU work per block.
-            policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
-                      if remat == "dots" else None)
+            # remat="names": save each transformer block's attention/FF
+            # outputs (checkpoint_name tags in nn/attention.py) so the
+            # backward replay skips recomputing them — ~1 GB of bf16
+            # activations at MDM512 bs=1 for one fewer attention+FF forward
+            # per block in the backward.
+            # remat="dots": save ALL matmul/conv outputs — OOMs at MDM512
+            # bs=1 single-chip (docs/STATE.md); kept for sharded scales.
+            if remat == "dots":
+                policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            elif remat == "names":
+                policy = jax.checkpoint_policies.save_only_these_names(
+                    "blk_attn1", "blk_attn2", "blk_ff")
+            else:
+                policy = None
             f = jax.checkpoint(f, policy=policy)
         return f(p, h, emb, context)
 

@@ -70,7 +70,7 @@ def timeit(f, args, n=4):
 def main():
     make_gstep, tr, fz, batch = build()
     out = {}
-    for remat in (False, True):
+    for remat in (True, "names"):
         f = jax.jit(make_gstep(remat))
         print(f"# compiling remat={remat}", flush=True)
         t0 = time.perf_counter()
@@ -84,7 +84,7 @@ def main():
                   f"{str(e).splitlines()[0][:120]}", flush=True)
         f.clear_cache()
     if len(out) == 2:
-        print(f"delta: no-remat is {100*(out[True]-out[False])/out[True]:+.1f}% vs full-remat",
+        print(f"delta: names-policy is {100*(out[True]-out['names'])/out[True]:+.1f}% vs full-remat",
               flush=True)
 
 
