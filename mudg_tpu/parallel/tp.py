@@ -13,6 +13,13 @@ Pairing:
   ff.net.0.proj                   (in, out) -> P(None, 'model')   [column]
   ff.net.2                        (in, out) -> P('model', None)   [row]
   everything else replicated.
+
+Interplay with the Pallas kernels: the SPMD partitioner cannot partition a
+tpu_custom_call, so runs that shard over 'model' should use the XLA paths
+(training already does via impl="train" for the replay-vjp kernels; for
+TP inference pass impl="xla" — an intentionally-unrecognized value that
+makes attend()/feed_forward take their pure-XLA branches). Data-parallel
+sharding is unaffected: kernels see per-shard batches.
 """
 from __future__ import annotations
 

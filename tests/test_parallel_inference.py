@@ -83,3 +83,42 @@ def test_tensor_parallel_unet_matches_replicated():
     params_tp = TP.shard_unet_tp(params, mesh)
     out = fn(params_tp, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_tensor_parallel_sampling_matches_replicated():
+    """Tensor-parallel INFERENCE: UNet weights column/row-sharded over a
+    ('model',) mesh via parallel/tp.py annotations; the SPMD partitioner
+    inserts the all-reduces. Sampling output must match the replicated run
+    (single clip, so this is the pure TP latency-scaling path)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from mudg_tpu.parallel import tp as TP
+
+    cfg = tiny_mdm_cfg()
+    params = M.init_mdm(jax.random.PRNGKey(0), cfg)
+    b = 1
+    key = jax.random.PRNGKey(1)
+    sparse = jax.random.uniform(key, (b, T, H, W, 3), minval=-1, maxval=1)
+    depth = jax.random.uniform(key, (b, T, H, W, 3), minval=-1, maxval=1)
+    tokens = jnp.zeros((b, 77), jnp.int32)
+    null = jnp.zeros((77,), jnp.int32)
+    labels = jnp.zeros((b,), jnp.int32)
+
+    def run(params, sparse, depth, labels, tokens):
+        return M.sample(
+            params, cfg, jax.random.PRNGKey(2),
+            sparse_frames=sparse, sparse_depth=depth, tokens=tokens,
+            null_tokens=null, class_label=labels, num_steps=2,
+            guidance_scale=7.5, decode=False, impl="xla",
+        )
+
+    ref = jax.jit(run)(params, sparse, depth, labels, tokens)
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("model",))
+    params_tp = {**params, "unet": TP.shard_unet_tp(params["unet"], mesh)}
+    rep = NamedSharding(mesh, P())
+    args = jax.tree.map(lambda a: jax.device_put(a, rep),
+                        (sparse, depth, labels, tokens))
+    out = jax.jit(run)(params_tp, *args)
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
