@@ -111,6 +111,27 @@ def _pick_chunk(inner: int) -> int:
     return inner
 
 
+def _pick_block_sizes(m: int, c: int, inner: int):
+    """(intermediate chunk, row block) for the LN+FF+res block kernel, under
+    a scoped-vmem model calibrated on v5e: C=512 s=1024 bm=1024 OOMs at
+    18.0M real (est 17.9M); C=320 bm=1024 compiles (est 9.6M); C=640
+    bm=1024 OOMs at 18.2M. Counted: x + out blocks (double-buffered), the
+    two w1 halves + w2 (double-buffered consts), f32 acc, xn scratch, f32
+    LN temporaries."""
+    s = _pick_chunk(inner)
+    if c >= 1024:
+        while s > 512 or inner % s:
+            s //= 2
+
+    def est(bm_):
+        return (bm_ * c * 8 + 2 * 2 * c * s * 2 + 2 * s * c * 2
+                + bm_ * c * 4 + bm_ * c * 2 + 2 * bm_ * c * 4)
+
+    bm = next((b for b in (1024, 512, 256, 128)
+               if m % b == 0 and est(b) < int(14.5 * 2**20)), 128)
+    return s, bm
+
+
 def geglu_ff_eligible(x, w1) -> bool:
     m = 1
     for d in x.shape[:-1]:
@@ -193,21 +214,7 @@ def _ff_block_apply(x, lnw, lnb, w1, b1, w2, b2):
     xf = x.reshape(m, c)
     inner = w1.shape[1] // 2
 
-    s = _pick_chunk(inner)
-    if c >= 1024:
-        while s > 512 or inner % s:
-            s //= 2
-
-    def est(bm_):
-        # x + out blocks (double-buffered) + w1 halves + w2 (db consts) +
-        # f32 acc + xn scratch + f32 LN temporaries. Calibrated: C=512
-        # s=1024 bm=1024 OOMs at 18.0M real (est 17.9M); C=320 bm=1024
-        # compiles (est 9.6M); C=640 bm=1024 OOMs at 18.2M.
-        return (bm_ * c * 8 + 2 * 2 * c * s * 2 + 2 * s * c * 2
-                + bm_ * c * 4 + bm_ * c * 2 + 2 * bm_ * c * 4)
-
-    bm = next((b for b in (1024, 512, 256, 128)
-               if m % b == 0 and est(b) < int(14.5 * 2**20)), 128)
+    s, bm = _pick_block_sizes(m, c, inner)
     n_ic = inner // s
     while m % bm:
         bm //= 2

@@ -137,9 +137,9 @@ def eligible(x, c, heads) -> bool:
     )
 
 
-def _fused_impl(x, p_norm, p_attn, *, heads):
+def _fused_impl(x, p_norm, p_attn, *, heads, bq=None):
     b, l, c = x.shape
-    bq = _pick_bq(l, c)
+    bq = bq or _pick_bq(l, c)
     w = _prep(p_attn, c, heads)
     lnw = p_norm["weight"].astype(jnp.float32).reshape(1, c)
     lnb = p_norm["bias"].astype(jnp.float32).reshape(1, c)

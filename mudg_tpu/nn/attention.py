@@ -40,7 +40,12 @@ FLASH_MIN_SEQ = 512
 #             kernel alone, scripts/trainfused.py). Flash attention keeps its
 #             real backward kernels and stays on.
 #   "flash" — force the flash kernel where shapes allow (tests).
+#   "xla"   — NO Pallas custom calls at all (plain XLA everywhere): required
+#             for 'model'-sharded (tensor-parallel) runs, where the SPMD
+#             partitioner cannot split a tpu_custom_call. Also the reference
+#             impl for kernel parity tests.
 _AUTO = ("auto", "train")
+_NO_FUSED_FF = ("train", "xla")
 
 
 def _flash_available():
@@ -283,20 +288,14 @@ def feed_forward(p, x, impl="auto"):
     w1 = p["net"]["0"]["proj"]["weight"]
     w2 = p["net"]["2"]["weight"]
     if (
-        impl != "train"
+        impl not in _NO_FUSED_FF
         and os.environ.get("MUDG_FUSED_FF", "1") == "1"
         and jax.default_backend() == "tpu"
     ):
         from ..kernels import mlp as M
 
         if M.geglu_ff_eligible(x, w1):
-            inner = w1.shape[1] // 2
-            b1 = p["net"]["0"]["proj"].get("bias")
-            b2 = p["net"]["2"].get("bias")
-            if b1 is None:
-                b1 = jnp.zeros((2 * inner,), x.dtype)
-            if b2 is None:
-                b2 = jnp.zeros((w2.shape[1],), x.dtype)
+            b1, b2 = _ff_biases(p, x, w1, w2)
             return M.fused_geglu_ff(x, w1, b1, w2, b2)
     h = F.linear(p["net"]["0"]["proj"], x)
     h, gate = jnp.split(h, 2, axis=-1)
@@ -321,7 +320,7 @@ def feed_forward_block(p_ff, p_norm, x, impl="auto"):
     the pre-norm and residual add ride the FF kernel, saving their HBM round
     trips. impl="train" and ineligible shapes use the unfused composition."""
     if (
-        impl != "train"
+        impl not in _NO_FUSED_FF
         and os.environ.get("MUDG_FUSED_FF", "1") == "1"
         and jax.default_backend() == "tpu"
         # measured (v5e, chained harness): the LN+res fusion wins only at
@@ -368,8 +367,6 @@ def basic_transformer_block(
 
         use_sfused = SP.eligible(x, c, heads)
     if use_sfused:
-        from ..kernels import spatial_attn as SP
-
         x = SP.fused_self_attention(x, p["norm1"], p["attn1"], heads)
     else:
         x = cross_attention(

@@ -15,10 +15,9 @@ Pairing:
   everything else replicated.
 
 Interplay with the Pallas kernels: the SPMD partitioner cannot partition a
-tpu_custom_call, so runs that shard over 'model' should use the XLA paths
-(training already does via impl="train" for the replay-vjp kernels; for
-TP inference pass impl="xla" — an intentionally-unrecognized value that
-makes attend()/feed_forward take their pure-XLA branches). Data-parallel
+tpu_custom_call, so ANY run that shards over 'model' — inference or
+training — must pass impl="xla", which disables every Pallas kernel
+(including flash attention, which impl="train" keeps). Data-parallel
 sharding is unaffected: kernels see per-shard batches.
 """
 from __future__ import annotations

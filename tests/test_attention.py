@@ -215,11 +215,15 @@ def test_fused_temporal_double_attn_parity(heads, c, n):
         (gf[1], gf[2]), (gx[1], gx[2]))
 
 
-@pytest.mark.parametrize("heads,c,l", [(2, 128, 128), (3, 192, 256)])
-def test_fused_spatial_self_attn_parity(heads, c, l):
+@pytest.mark.parametrize("heads,c,l,bq", [(2, 128, 128, None),
+                                          (3, 192, 256, None),
+                                          (2, 128, 256, 64)])
+def test_fused_spatial_self_attn_parity(heads, c, l, bq):
     """kernels/spatial_attn: the fused LN->self-attn->+res kernel (interpret
     mode) matches the XLA reference, and its custom-vjp gradients are the
-    XLA path's gradients. Covers whole-seq and chunked bq dispatch."""
+    XLA path's gradients. bq=None covers whole-seq dispatch; the explicit
+    bq=64 case forces the CHUNKED fori_loop path (multiple per-chunk LNs and
+    dynamic o_ref stores) that production hits at ds1/ds2 where bq=128 < L."""
     from mudg_tpu.kernels import spatial_attn as SP
 
     rng = jax.random.PRNGKey(0)
@@ -231,7 +235,7 @@ def test_fused_spatial_self_attn_parity(heads, c, l):
 
     assert SP._pick_bq(l, c) > 0
     ref = SP._xla_impl(x, p_norm, p_attn, heads=heads)
-    out = SP._fused_impl(x, p_norm, p_attn, heads=heads)
+    out = SP._fused_impl(x, p_norm, p_attn, heads=heads, bq=bq)
     assert out.shape == ref.shape
     scale = float(jnp.abs(ref).max())
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),

@@ -47,22 +47,9 @@ def test_temporal_attn_eligibility():
 def test_ff_block_bm_choices():
     # Observed: C=512 (init_attn, inner 2048) OOMs at bm=1024 (18.0M real);
     # C=320 compiles at bm=1024; C=640 OOMs at bm=1024 (18.18M real).
-    def pick(m, c, inner):
-        s = M._pick_chunk(inner)
-        if c >= 1024:
-            while s > 512 or inner % s:
-                s //= 2
-
-        def est(bm_):
-            return (bm_ * c * 8 + 2 * 2 * c * s * 2 + 2 * s * c * 2
-                    + bm_ * c * 4 + bm_ * c * 2 + 2 * bm_ * c * 4)
-
-        return next((b for b in (1024, 512, 256, 128)
-                     if m % b == 0 and est(b) < int(14.5 * 2**20)), 128)
-
-    assert pick(81920, 320, 1280) == 1024
-    assert pick(81920, 512, 2048) == 512
-    assert pick(20480, 640, 2560) == 512
+    assert M._pick_block_sizes(81920, 320, 1280)[1] == 1024
+    assert M._pick_block_sizes(81920, 512, 2048)[1] == 512
+    assert M._pick_block_sizes(20480, 640, 2560)[1] == 512
 
 
 def test_ff_block_matches_module_estimator():
