@@ -243,6 +243,209 @@ def _xla_impl(tokens, p1, p2, *, t, heads):
     return x
 
 
+# ---------------------------------------------------------------------------
+# True backward kernel (per stage): recompute-in-VMEM FlashAttention-style
+# gradients for LN -> block-diag self-attn -> out-proj -> +residual.
+# Weight gradients accumulate across grid steps into revisited output blocks.
+# ---------------------------------------------------------------------------
+
+def _bwd_stage_kernel(x_ref, dy_ref, lnw, lnb, wq, wk, wv, wo,
+                      dx_ref, dlnw_ref, dlnb_ref, dwq_ref, dwk_ref, dwv_ref,
+                      dwo_ref, dbo_ref, *, t, heads, group):
+    i = pl.program_id(0)
+    rows, c = x_ref.shape
+    d = c // heads
+
+    @pl.when(i == 0)
+    def _init():
+        for r in (dlnw_ref, dlnb_ref, dwq_ref, dwk_ref, dwv_ref, dwo_ref,
+                  dbo_ref):
+            r[...] = jnp.zeros_like(r[...])
+
+    rr = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0) // t
+    cc = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1) // t
+    mask = rr == cc
+
+    # ---- recompute forward pieces -----------------------------------------
+    xf = x_ref[...].astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + 1e-5)
+    xhat = (xf - mu) * inv
+    xn = (xhat * lnw[...] + lnb[...]).astype(jnp.bfloat16)
+    q2 = jax.lax.dot(xn, wq[...], preferred_element_type=jnp.float32
+                     ).astype(jnp.bfloat16)  # wq has scale*log2e folded
+    k = jax.lax.dot(xn, wk[...], preferred_element_type=jnp.float32
+                    ).astype(jnp.bfloat16)
+    v = jax.lax.dot(xn, wv[...], preferred_element_type=jnp.float32
+                    ).astype(jnp.bfloat16)
+
+    dy = dy_ref[...].astype(jnp.float32)
+    dyb = dy.astype(jnp.bfloat16)
+    # out-proj input cotangent: do_all = dy @ Wo^T
+    do_all = jax.lax.dot_general(
+        dyb, wo[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    dbo_ref[...] += jnp.sum(dy, axis=0, keepdims=True)
+
+    dqs, dks, dvs = [], [], []
+    for h in range(heads):
+        q3 = q2[:, h * d:(h + 1) * d].reshape(group, 128, d)
+        k3 = k[:, h * d:(h + 1) * d].reshape(group, 128, d)
+        v3 = v[:, h * d:(h + 1) * d].reshape(group, 128, d)
+        s = jax.lax.dot_general(
+            q3, k3, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        s = jnp.where(mask[None], s, NEG)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp2(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        pb = p.astype(jnp.bfloat16)
+        o_h = jax.lax.dot_general(
+            pb, v3, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32
+        ).reshape(rows, d).astype(jnp.bfloat16)
+        # dWo rows for this head: o_h^T @ dy
+        dwo_ref[h * d:(h + 1) * d, :] += jax.lax.dot_general(
+            o_h, dyb, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        do3 = do_all[:, h * d:(h + 1) * d].reshape(group, 128, d)
+        dp = jax.lax.dot_general(
+            do3, v3, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)  # (G, 128, 128)
+        ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
+        ds = (ds * (1.0 / LOG2E)).astype(jnp.bfloat16)  # wrt base-2 logits
+        dq3 = jax.lax.dot_general(
+            ds, k3, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)  # (G, 128, d)
+        dk3 = jax.lax.dot_general(
+            ds, q3, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)  # (G, 128(k), d)
+        dv3 = jax.lax.dot_general(
+            pb, do3, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        dqs.append(dq3.reshape(rows, d).astype(jnp.bfloat16))
+        dks.append(dk3.reshape(rows, d).astype(jnp.bfloat16))
+        dvs.append(dv3.reshape(rows, d).astype(jnp.bfloat16))
+
+    dq_all = jnp.concatenate(dqs, axis=1)
+    dk_all = jnp.concatenate(dks, axis=1)
+    dv_all = jnp.concatenate(dvs, axis=1)
+
+    # weight grads (wrt the FOLDED Wq2; rescaled to Wq outside the kernel)
+    dwq_ref[...] += jax.lax.dot_general(
+        xn, dq_all, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dwk_ref[...] += jax.lax.dot_general(
+        xn, dk_all, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dwv_ref[...] += jax.lax.dot_general(
+        xn, dv_all, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    dxn = (jax.lax.dot_general(dq_all, wq[...], (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+           + jax.lax.dot_general(dk_all, wk[...], (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+           + jax.lax.dot_general(dv_all, wv[...], (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32))
+
+    dlnw_ref[...] += jnp.sum(dxn * xhat, axis=0, keepdims=True)
+    dlnb_ref[...] += jnp.sum(dxn, axis=0, keepdims=True)
+    dxhat = dxn * lnw[...]
+    dxf = inv * (dxhat
+                 - jnp.mean(dxhat, axis=-1, keepdims=True)
+                 - xhat * jnp.mean(dxhat * xhat, axis=-1, keepdims=True))
+    dx_ref[...] = (dy + dxf).astype(dx_ref.dtype)
+
+
+def _bwd_vmem_est(g, c):
+    # per-stage weights (double-buffered consts) + f32 weight-grad
+    # accumulators + ~44 B/row-element of block temporaries (x/dy/dx blocks
+    # + xn/q/k/v/do/dq/dk/dv bf16 + xf/dxn/dy32 f32) + 4 (G,128,128) f32
+    # slab buffers (S/P/dP/dS)
+    blk_ = 128 * g
+    return (2 * 4 * c * c * 2 + 4 * c * c * 4
+            + blk_ * c * 44
+            + 4 * g * 128 * 128 * 4)
+
+
+def _pick_group_bwd(rows, c):
+    return next((g for g in (4, 2, 1)
+                 if rows % (128 * g) == 0
+                 and _bwd_vmem_est(g, c) <= 13 * 2**20), 0)
+
+
+def bwd_eligible(rows, c) -> bool:
+    """True when the per-stage backward kernel fits VMEM (C<=512 at the UNet
+    widths; C=640's weights + grad accumulators alone overflow)."""
+    return _pick_group_bwd(rows, c) > 0
+
+
+def _fwd_one_stage(x2, p, c, heads, t):
+    """One LN->attn->+res stage via the single-stage forward kernel (used by
+    the backward to recompute stage 1's output)."""
+    rows = x2.shape[0]
+    group = _pick_group(rows, c, 1)
+    w = _prep(p, c, heads, fold_scale=True)
+    const = pl.BlockSpec(memory_space=pltpu.VMEM)
+    blk = 128 * group
+    return pl.pallas_call(
+        functools.partial(_kernel1, t=t, heads=heads, group=group),
+        grid=(rows // blk,),
+        in_specs=[pl.BlockSpec((blk, c), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)] + [const] * 7,
+        out_specs=pl.BlockSpec((blk, c), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, c), x2.dtype),
+        interpret=_interpret(),
+    )(x2, *_ln_args(p, c), *w[:4], w[4])
+
+
+def _bwd_one_stage(x2, dy2, p, c, heads, t):
+    """Gradients of one stage: returns (dx (rows,c), grads pytree for p)."""
+    rows = x2.shape[0]
+    group = _pick_group_bwd(rows, c)
+    blk = 128 * group
+    w = _prep(p, c, heads, fold_scale=True)
+    const = pl.BlockSpec(memory_space=pltpu.VMEM)
+    blkspec = pl.BlockSpec((blk, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    acc = pl.BlockSpec((c, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    vec = pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    f32 = jnp.float32
+    outs = pl.pallas_call(
+        functools.partial(_bwd_stage_kernel, t=t, heads=heads, group=group),
+        grid=(rows // blk,),
+        in_specs=[blkspec, blkspec] + [const] * 6,
+        out_specs=(blkspec, vec, vec, acc, acc, acc, acc, vec),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, c), x2.dtype),
+            jax.ShapeDtypeStruct((1, c), f32),
+            jax.ShapeDtypeStruct((1, c), f32),
+            jax.ShapeDtypeStruct((c, c), f32),
+            jax.ShapeDtypeStruct((c, c), f32),
+            jax.ShapeDtypeStruct((c, c), f32),
+            jax.ShapeDtypeStruct((c, c), f32),
+            jax.ShapeDtypeStruct((1, c), f32),
+        ),
+        interpret=_interpret(),
+    )(x2, dy2, *_ln_args(p, c), *w[:4])
+    dx, dlnw, dlnb, dwq2, dwk, dwv, dwo, dbo = outs
+
+    d = c // heads
+    grads = jax.tree.map(jnp.zeros_like, p)
+    cast = lambda g, leaf: g.reshape(leaf.shape).astype(leaf.dtype)
+    grads["norm"] = {"weight": cast(dlnw, p["norm"]["weight"]),
+                     "bias": cast(dlnb, p["norm"]["bias"])}
+    # un-fold the scale*log2e baked into Wq2 for the recompute
+    grads["to_q"] = {"weight": cast(dwq2 * (d ** -0.5 * LOG2E),
+                                    p["to_q"]["weight"])}
+    grads["to_k"] = {"weight": cast(dwk, p["to_k"]["weight"])}
+    grads["to_v"] = {"weight": cast(dwv, p["to_v"]["weight"])}
+    gout = {"weight": cast(dwo, p["to_out"]["0"]["weight"])}
+    if "bias" in p["to_out"]["0"]:
+        gout["bias"] = cast(dbo, p["to_out"]["0"]["bias"])
+    grads["to_out"] = {"0": gout}
+    return dx, grads
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def fused_double_self_attn(tokens, p1, p2, t, heads):
     """LN->self-attn->+res twice, fused. p1/p2: dicts with 'norm' (LayerNorm
@@ -256,6 +459,17 @@ def _vjp_fwd(tokens, p1, p2, t, heads):
 
 def _vjp_bwd(t, heads, res, g):
     tokens, p1, p2 = res
+    n, tt, c = tokens.shape
+    rows = n * tt
+    if bwd_eligible(rows, c):
+        # true backward kernels, stage by stage: recompute h1 with the
+        # forward kernel, then backprop stage 2 and stage 1
+        x2 = tokens.reshape(rows, c)
+        g2 = g.reshape(rows, c)
+        h1 = _fwd_one_stage(x2, p1, c, heads, t)
+        dh1, dp2 = _bwd_one_stage(h1, g2, p2, c, heads, t)
+        dx, dp1 = _bwd_one_stage(x2, dh1, p1, c, heads, t)
+        return dx.reshape(tokens.shape), dp1, dp2
     _, vjp = jax.vjp(lambda x, a, b: _xla_impl(x, a, b, t=t, heads=heads),
                      tokens, p1, p2)
     return vjp(g)

@@ -463,7 +463,7 @@ def temporal_transformer(
         # path pays ~0.75 ms/core of HBM logits traffic at ds1.
         use_fused = (
             not causal
-            and impl == "auto"
+            and impl in ("auto", "train")
             # the kernel handles neither rel-pos bias nor qkv projection
             # biases (to_out bias is) — require their absence on BOTH attns
             # so forward and custom-vjp backward stay the same function
@@ -480,6 +480,11 @@ def temporal_transformer(
             from ..kernels import temporal_attn as TA
 
             use_fused = TA.eligible(x, x.shape[-1], heads, t)
+            if use_fused and impl == "train":
+                # training requires the TRUE backward kernel (C<=512);
+                # otherwise the custom_vjp would replay XLA math — a
+                # measured net loss under remat (docs/STATE.md)
+                use_fused = TA.bwd_eligible(x.shape[0] * t, x.shape[-1])
         if use_fused:
             def fused_block(pb_, x_):
                 from ..kernels import temporal_attn as TA

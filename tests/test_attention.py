@@ -169,6 +169,7 @@ def test_domain_cross_attention_identity_at_init():
 @pytest.mark.parametrize(
     "heads,c,n",
     [
+        (8, 512, 16),
         (2, 128, 64),   # rows=1024 -> group-8 double kernel (C<=320 path)
         (10, 640, 32),  # rows=512 -> two single-stage kernels at group=4
     ],
