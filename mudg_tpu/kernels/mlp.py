@@ -264,11 +264,198 @@ def _ff_block_vjp_fwd(x, lnw, lnb, w1, b1, w2, b2):
 
 
 def _ff_block_vjp_bwd(res, g):
+    x, lnw, lnb, w1, b1, w2, b2 = res
+    c = x.shape[-1]
+    m = x.size // c
+    inner = w1.shape[1] // 2
+    if ff_bwd_eligible(m, c, inner):
+        # FF backward via the kernel on xn (recomputed, cheap elementwise);
+        # the LN vjp and the residual add stay in XLA
+        def ln(x_):
+            xf = x_.astype(jnp.float32)
+            mu = jnp.mean(xf, axis=-1, keepdims=True)
+            var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+            return (((xf - mu) * jax.lax.rsqrt(var + 1e-5))
+                    * lnw.astype(jnp.float32) + lnb.astype(jnp.float32)
+                    ).astype(x_.dtype)
+
+        xn, ln_vjp = jax.vjp(ln, x)
+        dxn, dw1, db1, dw2, db2 = _ff_bwd_apply(xn, g, w1, b1, w2)
+        # dlnw/dlnb ride the same vjp trace as dx
+        def ln_params(lw, lb):
+            xf = x.astype(jnp.float32)
+            mu = jnp.mean(xf, axis=-1, keepdims=True)
+            var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+            return (((xf - mu) * jax.lax.rsqrt(var + 1e-5))
+                    * lw.astype(jnp.float32) + lb.astype(jnp.float32)
+                    ).astype(x.dtype)
+
+        _, lnp_vjp = jax.vjp(ln_params, lnw, lnb)
+        dlnw, dlnb = lnp_vjp(dxn)
+        (dx_ln,) = ln_vjp(dxn)
+        return (dx_ln + g, dlnw, dlnb, dw1, db1, dw2,
+                db2.astype(b2.dtype))
     _, vjp = jax.vjp(_ff_block_math, *res)
     return vjp(g)
 
 
 fused_geglu_ff_block.defvjp(_ff_block_vjp_fwd, _ff_block_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# True backward kernel: recompute-in-VMEM gradients for the GEGLU FF.
+# Weight/bias gradients accumulate across the row-block grid dimension into
+# revisited output blocks; the (M, inner) intermediates never touch HBM.
+# ---------------------------------------------------------------------------
+
+def _nrm_pdf(g):
+    return jnp.exp(-0.5 * g * g) * (1.0 / 2.5066282746310002)  # 1/sqrt(2*pi)
+
+
+def _ff_bwd_kernel(x_ref, dy_ref, w1v_ref, w1g_ref, b1_ref, w2_ref,
+                   dx_ref, dw1v_ref, dw1g_ref, db1_ref, dw2_ref, db2_ref,
+                   acc_ref, *, n_ic):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init_j():  # first visit of every (·, j) weight-grad block
+        dw1v_ref[...] = jnp.zeros_like(dw1v_ref[...])
+        dw1g_ref[...] = jnp.zeros_like(dw1g_ref[...])
+        db1_ref[...] = jnp.zeros_like(db1_ref[...])
+        dw2_ref[...] = jnp.zeros_like(dw2_ref[...])
+
+        @pl.when(j == 0)
+        def _init_00():
+            db2_ref[...] = jnp.zeros_like(db2_ref[...])
+
+    @pl.when(j == 0)
+    def _init_i():
+        acc_ref[...] = jnp.zeros_like(acc_ref[...])
+
+    x = x_ref[...]
+    dy = dy_ref[...].astype(jnp.float32)
+    dyb = dy.astype(x.dtype)
+
+    @pl.when(j == 0)
+    def _db2():
+        db2_ref[...] += jnp.sum(dy, axis=0, keepdims=True)
+
+    # recompute the (BM, S) intermediate slice
+    u = jax.lax.dot(x, w1v_ref[...], preferred_element_type=jnp.float32)
+    g = jax.lax.dot(x, w1g_ref[...], preferred_element_type=jnp.float32)
+    b1 = b1_ref[...].astype(jnp.float32)
+    u = u + b1[0]
+    g = g + b1[1]
+    phi = 0.5 * (1.0 + _erf(g * (2.0 ** -0.5)))
+    gelu = g * phi
+    h = (u * gelu).astype(x.dtype)
+
+    dh = jax.lax.dot_general(
+        dyb, w2_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (BM, S)
+    dw2_ref[...] += jax.lax.dot_general(
+        h, dyb, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    du = dh * gelu
+    dg = dh * u * (phi + g * _nrm_pdf(g))
+    dub = du.astype(x.dtype)
+    dgb = dg.astype(x.dtype)
+    db1_ref[...] += jnp.concatenate(
+        [jnp.sum(du, axis=0, keepdims=True),
+         jnp.sum(dg, axis=0, keepdims=True)], axis=0)
+    dw1v_ref[...] += jax.lax.dot_general(
+        x, dub, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dw1g_ref[...] += jax.lax.dot_general(
+        x, dgb, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    acc_ref[...] += (
+        jax.lax.dot_general(dub, w1v_ref[...], (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(dgb, w1g_ref[...], (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32))
+
+    @pl.when(j == n_ic - 1)
+    def _store():
+        dx_ref[...] = acc_ref[...].astype(dx_ref.dtype)
+
+
+def _pick_block_sizes_bwd(m: int, c: int, inner: int):
+    """(s, bm) for the backward kernel: more f32 (BM, S) temporaries than the
+    forward (u/g/dh/du/dg live together), so both dimensions shrink. s must
+    stay a multiple of 128 (weight-block lane dimension)."""
+    for s in (512, 384, 256, 128):
+        if inner % s:
+            continue
+        for bm in (512, 256, 128):
+            if m % bm:
+                continue
+            est = (6 * bm * s * 4          # u/g/phi/dh/du/dg f32
+                   + 3 * c * s * 2 * 2     # w1v/w1g/w2 blocks, db
+                   + 3 * c * s * 4 * 2     # dw1v/dw1g/dw2 out blocks, db
+                   + 3 * bm * c * 2 * 2    # x/dy/dx blocks, db
+                   + bm * c * 4)           # acc scratch
+            if est < 13 * 2**20:
+                return s, bm
+    return 0, 0
+
+
+def ff_bwd_eligible(m: int, c: int, inner: int) -> bool:
+    return _pick_block_sizes_bwd(m, c, inner)[0] > 0
+
+
+def _ff_bwd_apply(x, dy, w1, b1, w2):
+    """Returns (dx, dw1, db1, dw2, db2) for y = geglu_ff(x) (bias grads f32)."""
+    orig_shape = x.shape
+    c = x.shape[-1]
+    m = x.size // c
+    xf = x.reshape(m, c)
+    dyf = dy.reshape(m, c)
+    inner = w1.shape[1] // 2
+    s, bm = _pick_block_sizes_bwd(m, c, inner)
+    n_ic = inner // s
+
+    w1c = w1.astype(x.dtype)
+    w2c = w2.astype(x.dtype)
+    b1m = jnp.stack([b1[:inner], b1[inner:]]).astype(jnp.float32)
+
+    blk = pl.BlockSpec((bm, c), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+    f32 = jnp.float32
+    outs = pl.pallas_call(
+        functools.partial(_ff_bwd_kernel, n_ic=n_ic),
+        grid=(m // bm, n_ic),
+        in_specs=[
+            blk,
+            blk,
+            pl.BlockSpec((c, s), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, s), lambda i, j: (0, j + n_ic), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, s), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((s, c), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            blk,
+            pl.BlockSpec((c, s), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, s), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, s), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((s, c), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((m, c), x.dtype),
+            jax.ShapeDtypeStruct((c, inner), f32),
+            jax.ShapeDtypeStruct((c, inner), f32),
+            jax.ShapeDtypeStruct((2, inner), f32),
+            jax.ShapeDtypeStruct((inner, c), f32),
+            jax.ShapeDtypeStruct((1, c), f32),
+        ),
+        scratch_shapes=[pltpu.VMEM((bm, c), jnp.float32)],
+        interpret=_interpret(),
+    )(xf, dyf, w1c, w1c, b1m, w2c)
+    dx, dw1v, dw1g, db1m, dw2, db2 = outs
+    dw1 = jnp.concatenate([dw1v, dw1g], axis=1).astype(w1.dtype)
+    db1 = jnp.concatenate([db1m[0], db1m[1]]).astype(b1.dtype)
+    return (dx.reshape(orig_shape), dw1, db1,
+            dw2.astype(w2.dtype), db2.reshape(-1))
 
 
 def _ff_math(x, w1, b1, w2, b2):
@@ -284,6 +471,12 @@ def _ff_vjp_fwd(x, w1, b1, w2, b2):
 
 def _ff_vjp_bwd(res, g):
     x, w1, b1, w2, b2 = res
+    c = x.shape[-1]
+    m = x.size // c
+    inner = w1.shape[1] // 2
+    if ff_bwd_eligible(m, c, inner):
+        dx, dw1, db1, dw2, db2 = _ff_bwd_apply(x, g, w1, b1, w2)
+        return dx, dw1, db1, dw2, db2.astype(b2.dtype)
     _, vjp = jax.vjp(_ff_math, x, w1, b1, w2, b2)
     return vjp(g)
 

@@ -45,7 +45,6 @@ FLASH_MIN_SEQ = 512
 #             partitioner cannot split a tpu_custom_call. Also the reference
 #             impl for kernel parity tests.
 _AUTO = ("auto", "train")
-_NO_FUSED_FF = ("train", "xla")
 
 
 def _flash_available():
@@ -283,18 +282,25 @@ def feed_forward(p, x, impl="auto"):
     On TPU this runs as one fused Pallas kernel (kernels/mlp.py) that keeps
     the (M, 8C) intermediate in VMEM — XLA's version makes two HBM round
     trips through it (38% vs ~70% of peak at ds1, scripts/opbench.py).
-    Disabled for impl="train": its custom_vjp replays the XLA math, which
-    under remat costs an extra forward per FF in the backward pass."""
+    Training uses it only when the TRUE backward kernel fits
+    (kernels/mlp._ff_bwd_apply); otherwise the custom_vjp would replay XLA
+    math, which under remat costs an extra forward per FF in backward."""
     w1 = p["net"]["0"]["proj"]["weight"]
     w2 = p["net"]["2"]["weight"]
     if (
-        impl not in _NO_FUSED_FF
+        impl != "xla"
         and os.environ.get("MUDG_FUSED_FF", "1") == "1"
         and jax.default_backend() == "tpu"
     ):
         from ..kernels import mlp as M
 
-        if M.geglu_ff_eligible(x, w1):
+        ok = M.geglu_ff_eligible(x, w1)
+        if ok and impl == "train":
+            # training requires the TRUE backward kernel; otherwise the
+            # custom_vjp would replay XLA math (a net loss under remat)
+            c = x.shape[-1]
+            ok = M.ff_bwd_eligible(x.size // c, c, w1.shape[1] // 2)
+        if ok:
             b1, b2 = _ff_biases(p, x, w1, w2)
             return M.fused_geglu_ff(x, w1, b1, w2, b2)
     h = F.linear(p["net"]["0"]["proj"], x)
@@ -318,9 +324,11 @@ def feed_forward_block(p_ff, p_norm, x, impl="auto"):
     """LayerNorm -> GEGLU feed-forward -> +residual. On TPU (inference) the
     whole block runs as one Pallas kernel (kernels/mlp.fused_geglu_ff_block):
     the pre-norm and residual add ride the FF kernel, saving their HBM round
-    trips. impl="train" and ineligible shapes use the unfused composition."""
+    trips. Training fuses too when the TRUE backward kernel fits
+    (kernels/mlp._ff_bwd_apply); impl="xla" and ineligible shapes use the
+    unfused composition."""
     if (
-        impl not in _NO_FUSED_FF
+        impl != "xla"
         and os.environ.get("MUDG_FUSED_FF", "1") == "1"
         and jax.default_backend() == "tpu"
         # measured (v5e, chained harness): the LN+res fusion wins only at
@@ -332,7 +340,11 @@ def feed_forward_block(p_ff, p_norm, x, impl="auto"):
         from ..kernels import mlp as M
 
         w1 = p_ff["net"]["0"]["proj"]["weight"]
-        if M.geglu_ff_eligible(x, w1):
+        ok = M.geglu_ff_eligible(x, w1)
+        if ok and impl == "train":
+            c = x.shape[-1]
+            ok = M.ff_bwd_eligible(x.size // c, c, w1.shape[1] // 2)
+        if ok:
             w2 = p_ff["net"]["2"]["weight"]
             b1, b2 = _ff_biases(p_ff, x, w1, w2)
             return M.fused_geglu_ff_block(

@@ -296,3 +296,34 @@ def test_fused_geglu_ff_block_parity():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b),
             rtol=0.1, atol=5e-2 * max(float(jnp.abs(b).max()), 1e-6))
+
+
+def test_fused_geglu_ff_true_backward_parity():
+    """kernels/mlp._ff_bwd_apply (true backward kernel, interpret mode):
+    gradients of the plain fused GEGLU FF match jax.grad of the XLA math
+    for every operand, including both bias halves."""
+    from mudg_tpu.kernels import mlp as M
+
+    rng = jax.random.PRNGKey(0)
+    m, c = 512, 128
+    inner = 4 * c
+    ks = jax.random.split(rng, 5)
+    x = jax.random.normal(ks[0], (m, c), jnp.float32) * 0.5
+    w1 = jax.random.normal(ks[1], (c, 2 * inner), jnp.float32) * 0.05
+    b1 = jax.random.normal(ks[2], (2 * inner,), jnp.float32) * 0.1
+    w2 = jax.random.normal(ks[3], (inner, c), jnp.float32) * 0.05
+    b2 = jax.random.normal(ks[4], (c,), jnp.float32) * 0.1
+    assert M.ff_bwd_eligible(m, c, inner)
+
+    def loss_f(x, w1, b1, w2, b2):
+        return jnp.sum(M.fused_geglu_ff(x, w1, b1, w2, b2) ** 2)
+
+    def loss_r(x, w1, b1, w2, b2):
+        return jnp.sum(M._ff_math(x, w1, b1, w2, b2) ** 2)
+
+    gf = jax.grad(loss_f, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b),
+            rtol=0.1, atol=5e-2 * max(float(jnp.abs(b).max()), 1e-6))
