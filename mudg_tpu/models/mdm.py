@@ -174,8 +174,17 @@ def training_loss(
     b = batch["dense_frames"].shape[0]
     keys = jax.random.split(rng, 7)
 
-    z = V.encode_video(params["vae"], cfg.vae, batch["dense_frames"],
-                       rng=keys[0], chunk=cfg.vae_chunk)
+    # AMP for the frozen encoders: the reference trains precision:16, so its
+    # VAE/CLIP forwards run under torch autocast in fp16 (main/trainer.py:120,
+    # configs stage1/stage2 precision: 16). Casting the frames to the compute
+    # dtype runs every conv/matmul in bf16 with the usual fp32 GroupNorm /
+    # softmax islands. Measured (scripts/condbench.py, v5e): 87.7 -> 77.6 ms
+    # per 16-frame encode (the encoder is bandwidth-bound, not MXU-bound, so
+    # the win is real but modest); x3 encodes per step. Latents return to
+    # f32 for the q_sample/target algebra below.
+    z = V.encode_video(params["vae"], cfg.vae,
+                       batch["dense_frames"].astype(compute_dtype),
+                       rng=keys[0], chunk=cfg.vae_chunk).astype(jnp.float32)
     if cfg.interp_mode:
         # start + end frame conditioning: zeros except frames 0 and -1 of the
         # target latents, duplicated into both concat channels' worth
@@ -184,8 +193,9 @@ def training_loss(
         zc = zc.at[:, 0].set(z[:, 0]).at[:, -1].set(z[:, -1])
         c_concat = jnp.concatenate([zc, jnp.zeros_like(zc)], axis=-1)
     else:
-        c_concat = encode_conditions(params, cfg, batch["sparse_frames"],
-                                     batch["sparse_depth"], rng=keys[1])
+        c_concat = encode_conditions(
+            params, cfg, batch["sparse_frames"].astype(compute_dtype),
+            batch["sparse_depth"].astype(compute_dtype), rng=keys[1])
     # frozen stages do not propagate gradients (ddpm3d.py:580-596)
     z = jax.lax.stop_gradient(z)
     c_concat = jax.lax.stop_gradient(c_concat)
@@ -204,7 +214,10 @@ def training_loss(
 
     prompt_emb = jnp.where(prompt_mask, null_emb, cond_emb)
     img = batch["sparse_frames"][:, 0] * input_mask
-    img_emb = embed_image(params, cfg, img)  # trainable image_proj inside
+    # trainable image_proj inside; CLIP tower + resampler in compute_dtype
+    # (AMP, see the encoder note above). The resampler's grads flow in bf16
+    # exactly as the reference's fp16 autocast does.
+    img_emb = embed_image(params, cfg, img.astype(compute_dtype))
     context = jnp.concatenate([prompt_emb, img_emb], axis=1)
 
     # diffusion target

@@ -10,6 +10,7 @@ import time
 sys.path.insert(0, "/root/repo")
 
 import jax
+import benchcache  # noqa: F401  (persistent compile cache)
 import jax.numpy as jnp
 import numpy as np
 
