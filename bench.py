@@ -80,8 +80,10 @@ def main():
         z = ddim.ddim_sample(model_fn, key, (b, t, hh, ww, 4), consts, dtype=dtype)
         # chunk=16 decodes the whole clip in one batch: identical math to the
         # reference's perframe_ae loop, 242 -> 229 ms measured (chunking is a
-        # memory lever, not a numerics one; 16 frames fit v5e HBM at 320x512)
-        x = V.decode_video(vae, vcfg, z.astype(jnp.float32), chunk=16)
+        # memory lever, not a numerics one; 16 frames fit v5e HBM at 320x512).
+        # bf16 decode matches the reference's fp16-autocast inference: 188.9
+        # -> 157.3 ms at 70.8 dB pixel PSNR vs f32 (scripts/vaebench.py).
+        x = V.decode_video(vae, vcfg, z.astype(dtype), chunk=16)
         return jnp.clip(x, -1, 1)
 
     # compile + warmup

@@ -81,6 +81,11 @@ def main(argv=None):
                    choices=("mdm512", "mdm1024", "tiny"))
     p.add_argument("--base_scale", type=float, default=None,
                    help="dynamic-rescale base override (0.7 stage1 / 0.3 stage2)")
+    p.add_argument("--dtype", default="bf16", choices=("bf16", "f32"),
+                   help="compute dtype; bf16 matches the reference's fp16 "
+                        "autocast inference (virtual_pose_render.py:218) and "
+                        "is ~2x faster on TPU (fp32 norm/softmax islands "
+                        "apply either way)")
     args = p.parse_args(argv)
 
     import jax
@@ -128,6 +133,7 @@ def main(argv=None):
             cfg_img=args.cfg_img, multiple_cond_cfg=args.multiple_cond_cfg,
             guidance_rescale=args.guidance_rescale, eta=args.eta,
             timestep_spacing=args.timestep_spacing, fs=args.fps,
+            dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32,
         )
 
     rng = jax.random.PRNGKey(args.seed)

@@ -59,6 +59,14 @@ class MDMConfig:
     turning_step: int = 400
     default_fs: int = 10
     vae_chunk: int = 1               # frames per VAE scan step (perframe_ae)
+    # frames per scan step for the TRAINING-side stacked encode (dense +
+    # sparse RGB + sparse depth in one call). Measured (scripts/condbench.py,
+    # v5e, 3x16 frames 320x512 bf16): chunk=1 234 ms, chunk=16 215 ms,
+    # chunk=48 211 ms but ~4 GB transient; chunk=3 anomalously slow (622 ms,
+    # same XLA anomaly family as decode chunk=4 — avoid tiny non-1 chunks).
+    # Inference keeps vae_chunk (perframe_ae is a memory lever there);
+    # numerics identical. Auto-halved until it divides the frame count.
+    train_encode_chunk: int = 16
     noise_strength: float = 0.0      # offset noise (ddpm3d.py:742-745)
     interp_mode: bool = False        # frame-interp conditioning (ddpm3d.py:1114-1118)
     l_simple_weight: float = 1.0
@@ -126,14 +134,13 @@ def embed_image(params, cfg: MDMConfig, images):
 def encode_conditions(params, cfg: MDMConfig, sparse_frames, sparse_depth,
                       rng=None):
     """VAE-encode the sparse RGB + depth condition videos -> c_concat
-    (B, T, h, w, 8) (ddpm3d.py:1078-1079,1122)."""
-    k1 = k2 = None
-    if rng is not None:
-        k1, k2 = jax.random.split(rng)
-    sparse_z = V.encode_video(params["vae"], cfg.vae, sparse_frames, rng=k1,
-                              chunk=cfg.vae_chunk)
-    depth_z = V.encode_video(params["vae"], cfg.vae, sparse_depth, rng=k2,
-                             chunk=cfg.vae_chunk)
+    (B, T, h, w, 8) (ddpm3d.py:1078-1079,1122). Both videos go through ONE
+    stacked encode call: the encoder is bandwidth-bound, so streaming its
+    weights once for batch 2B beats two separate calls."""
+    x = jnp.concatenate([sparse_frames, sparse_depth], axis=0)
+    z = V.encode_video(params["vae"], cfg.vae, x, rng=rng,
+                       chunk=cfg.vae_chunk)
+    sparse_z, depth_z = jnp.split(z, 2, axis=0)
     return jnp.concatenate([sparse_z, depth_z], axis=-1)
 
 
@@ -154,8 +161,8 @@ def denoise(params, cfg: MDMConfig, z_noisy, t, c_concat, context, class_label,
 
 def training_loss(
     params, cfg: MDMConfig, sched_arrays: Mapping[str, jnp.ndarray], batch,
-    rng, *, null_tokens, train_unet=True, impl="train", remat=True,
-    compute_dtype=jnp.bfloat16,
+    rng, *, null_tokens=None, null_emb=None, train_unet=True, impl="train",
+    remat=True, compute_dtype=jnp.bfloat16,
 ):
     """shared_step/p_losses for the MDM (ddpm3d.py:1056-1149, 741-788).
 
@@ -166,8 +173,11 @@ def training_loss(
       tokens        (B, 77) int32     caption tokens
       class_label   (B,) int32        task id
       fps           (B,) int32
-    null_tokens: (77,) tokens of the empty prompt (CFG null).
-    sched_arrays: device copies of the DiffusionSchedule fields.
+    null_tokens: (77,) tokens of the empty prompt (CFG null); OR pass
+    null_emb (1-or-B, 77, D), the precomputed null-prompt embedding — the
+    null prompt is constant across steps, so encoding it once outside the
+    step (make_train_step does this) saves a full CLIP text forward per
+    step. sched_arrays: device copies of the DiffusionSchedule fields.
 
     Returns (loss, metrics dict).
     """
@@ -182,10 +192,10 @@ def training_loss(
     # per 16-frame encode (the encoder is bandwidth-bound, not MXU-bound, so
     # the win is real but modest); x3 encodes per step. Latents return to
     # f32 for the q_sample/target algebra below.
-    z = V.encode_video(params["vae"], cfg.vae,
-                       batch["dense_frames"].astype(compute_dtype),
-                       rng=keys[0], chunk=cfg.vae_chunk).astype(jnp.float32)
     if cfg.interp_mode:
+        z = V.encode_video(params["vae"], cfg.vae,
+                           batch["dense_frames"].astype(compute_dtype),
+                           rng=keys[0], chunk=cfg.vae_chunk).astype(jnp.float32)
         # start + end frame conditioning: zeros except frames 0 and -1 of the
         # target latents, duplicated into both concat channels' worth
         # (ddpm3d.py:1114-1118 uses z; depth channel zeroed)
@@ -193,17 +203,33 @@ def training_loss(
         zc = zc.at[:, 0].set(z[:, 0]).at[:, -1].set(z[:, -1])
         c_concat = jnp.concatenate([zc, jnp.zeros_like(zc)], axis=-1)
     else:
-        c_concat = encode_conditions(
-            params, cfg, batch["sparse_frames"].astype(compute_dtype),
-            batch["sparse_depth"].astype(compute_dtype), rng=keys[1])
+        # One stacked VAE encode for all three per-step encodes (dense target
+        # + sparse RGB + sparse depth, ddpm3d.py:1077-1079): the encoder is
+        # bandwidth-bound, so streaming its weights once for batch 3B beats
+        # three separate calls (scripts/condbench.py).
+        enc_in = jnp.concatenate(
+            [batch["dense_frames"], batch["sparse_frames"],
+             batch["sparse_depth"]], axis=0).astype(compute_dtype)
+        n_frames = enc_in.shape[0] * enc_in.shape[1]
+        chunk = cfg.train_encode_chunk
+        while chunk > 1 and n_frames % chunk:
+            chunk //= 2
+        z3 = V.encode_video(params["vae"], cfg.vae, enc_in, rng=keys[0],
+                            chunk=chunk)
+        z, sparse_z, depth_z = jnp.split(z3, 3, axis=0)
+        z = z.astype(jnp.float32)
+        c_concat = jnp.concatenate([sparse_z, depth_z], axis=-1)
     # frozen stages do not propagate gradients (ddpm3d.py:580-596)
     z = jax.lax.stop_gradient(z)
     c_concat = jax.lax.stop_gradient(c_concat)
 
     cond_emb = jax.lax.stop_gradient(encode_text(params, cfg, batch["tokens"]))
+    if null_emb is None:
+        null_emb = encode_text(
+            params, cfg,
+            jnp.broadcast_to(null_tokens, (b, null_tokens.shape[-1])))
     null_emb = jax.lax.stop_gradient(
-        encode_text(params, cfg, jnp.broadcast_to(null_tokens, (b, null_tokens.shape[-1])))
-    )
+        jnp.broadcast_to(null_emb, cond_emb.shape).astype(cond_emb.dtype))
 
     # disjoint 5%/5%/5% text/image/both CFG dropout (ddpm3d.py:1091-1099)
     random_num = jax.random.uniform(keys[2], (b,))
@@ -283,6 +309,7 @@ def sample(
     decode: bool = True,
     impl: str = "auto",
     dtype=jnp.float32,
+    vae_dtype=None,
 ):
     """image_guided_synthesis (virtual_pose_render.py:62-147).
 
@@ -292,7 +319,15 @@ def sample(
 
     All CFG condition variants are stacked on the batch axis: one UNet pass
     per DDIM step at batch n_variants*B.
+
+    vae_dtype (default: follow `dtype`) is the compute dtype of the frozen
+    VAE/CLIP encoders and the final VAE decode. The reference inferences
+    under torch fp16 autocast (virtual_pose_render.py:218), so bf16 here is
+    parity-faithful; measured decode 188.9 -> 157.3 ms at 70.8 dB pixel PSNR
+    vs the f32 decode (scripts/vaebench.py). fp32 GroupNorm/softmax islands
+    apply regardless.
     """
+    vdt = dtype if vae_dtype is None else vae_dtype
     sched = cfg.schedule()
     consts = ddim.make_ddim_constants(
         sched, num_steps, timestep_spacing=timestep_spacing, eta=eta
@@ -302,15 +337,19 @@ def sample(
 
     # conditions (shared by all CFG variants: c_concat is never dropped,
     # virtual_pose_render.py:100,108)
-    c_concat = encode_conditions(params, cfg, sparse_frames, sparse_depth).astype(dtype)
+    c_concat = encode_conditions(
+        params, cfg, sparse_frames.astype(vdt), sparse_depth.astype(vdt)
+    ).astype(dtype)
 
     cond_emb = encode_text(params, cfg, tokens).astype(dtype)
     uc_emb = encode_text(
         params, cfg, jnp.broadcast_to(null_tokens, tokens.shape)
     ).astype(dtype)
-    img = sparse_frames[:, 0]
-    img_emb = embed_image(params, cfg, img).astype(dtype)
-    uc_img_emb = embed_image(params, cfg, jnp.zeros_like(img)).astype(dtype)
+    img = sparse_frames[:, 0].astype(vdt)
+    # cond + uncond image embeds in one stacked CLIP-tower/resampler pass
+    both = embed_image(
+        params, cfg, jnp.concatenate([img, jnp.zeros_like(img)], axis=0))
+    img_emb, uc_img_emb = (e.astype(dtype) for e in jnp.split(both, 2, axis=0))
 
     ctx_cond = jnp.concatenate([cond_emb, img_emb], axis=1)
     ctx_uc = jnp.concatenate([uc_emb, uc_img_emb], axis=1)
@@ -347,6 +386,6 @@ def sample(
     z = ddim.ddim_sample(model_fn, rng, shape, consts, dtype=dtype)
     if not decode:
         return z
-    x = V.decode_video(params["vae"], cfg.vae, z.astype(jnp.float32),
+    x = V.decode_video(params["vae"], cfg.vae, z.astype(vdt),
                        chunk=cfg.vae_chunk)
-    return jnp.clip(x, -1.0, 1.0)
+    return jnp.clip(x, -1.0, 1.0).astype(jnp.float32)

@@ -138,11 +138,18 @@ def make_train_step(
     """
     opt = make_optimizer(tc)
 
+    # The null-prompt embedding is constant across steps: encode it ONCE here
+    # instead of running a CLIP text forward inside every step. (1, 77, D) is
+    # ~300 KB — safe to close over, unlike the multi-GB towers below.
+    null_emb = jax.jit(
+        lambda fz, toks: M.encode_text(fz, cfg, toks[None])
+    )(frozen_params, null_tokens)
+
     def loss_fn(trainable, frozen, batch, rng):
         params = merge_params(trainable, frozen)
         return M.training_loss(
             params, cfg, sched_arrays, batch, rng,
-            null_tokens=null_tokens, impl=impl, remat=remat,
+            null_emb=null_emb, impl=impl, remat=remat,
         )
 
     def step_fn(frozen, state: TrainState, batch, rng):

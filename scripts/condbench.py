@@ -66,11 +66,33 @@ def main():
             print(f"vae encode {jnp.dtype(dt).name:8s} chunk={chunk:2d}: "
                   f"{sec*1e3:7.1f} ms", flush=True)
 
+    # all three per-step encodes (dense + sparse RGB + sparse depth) stacked
+    # into ONE encode call: the encoder is bandwidth-bound, so streaming the
+    # weights once per chunk step for batch 3 should beat 3 separate calls
+    frames3 = jnp.concatenate([frames, frames * 0.5, frames * 0.25], axis=0)
+    for chunk in (1, 3, 16, 48):
+        if 48 % chunk:
+            continue
+        sec = timed(lambda x: V.encode_video(params["vae"], cfg.vae,
+                                             x.astype(jnp.bfloat16),
+                                             rng=jax.random.PRNGKey(0),
+                                             chunk=chunk), frames3)
+        print(f"vae encode bf16 stacked3 chunk={chunk:2d}: {sec*1e3:7.1f} ms "
+              f"(vs 3 separate calls)", flush=True)
+
     for dt in (jnp.float32, jnp.bfloat16):
         sec = timed(lambda x: M.embed_image(params, cfg, x[:, 0].astype(dt)),
                     frames)
         print(f"clip image + resampler {jnp.dtype(dt).name}: {sec*1e3:7.1f} ms",
               flush=True)
+
+    # per-step text encode cost (the null-prompt encode is a hoistable
+    # constant; this is what hoisting saves)
+    tokens = jnp.zeros((1, 77), jnp.int32)
+    sec = timed(lambda x: M.encode_text(params, cfg, tokens
+                                        + (x[0, 0, 0, 0, 0] * 0).astype(jnp.int32)),
+                frames)
+    print(f"clip text encode (b=1): {sec*1e3:7.1f} ms", flush=True)
     print("done", flush=True)
 
 

@@ -48,11 +48,15 @@ def main(bs=1, remat=True, grad_only=False):
         # fwd + bwd only: one chip can't hold full f32 Adam state for 1.44B
         # params (that's what the 8-chip ZeRO layout is for). Timing-wise the
         # optimizer update is a small bandwidth pass on top of this.
+        null_emb = jax.jit(
+            lambda fz, toks: M.encode_text(fz, cfg, toks[None])
+        )(frozen, null_tokens)
+
         def loss_fn(tr, fz, batch, key):
             p = TS.merge_params(tr, fz)
             loss, _ = M.training_loss(
                 p, cfg, sched_arrays, batch, key,
-                null_tokens=null_tokens, impl="train", remat=remat)
+                null_emb=null_emb, impl="train", remat=remat)
             return loss
 
         @jax.jit
