@@ -86,6 +86,12 @@ def main(argv=None):
                         "autocast inference (virtual_pose_render.py:218) and "
                         "is ~2x faster on TPU (fp32 norm/softmax islands "
                         "apply either way)")
+    p.add_argument("--seq_parallel", action="store_true",
+                   help="shard ONE clip's sampling over all devices "
+                        "(parallel/sp.py: spatial layers frame-sharded, "
+                        "temporal layers W-sharded); forces impl='xla' "
+                        "because the SPMD partitioner cannot split Pallas "
+                        "calls. Ignored on a single device.")
     args = p.parse_args(argv)
 
     import jax
@@ -120,6 +126,15 @@ def main(argv=None):
     tokens = jnp.asarray(tokenizer([args.prompt] * len(TASKS)))
     null_tokens = jnp.asarray(tokenizer([""])[0])
 
+    sp = None
+    impl = "auto"
+    if args.seq_parallel and jax.device_count() > 1:
+        from ..parallel import mesh as PM
+        from ..parallel import sp as SP
+
+        sp = SP.make_seq_sharding(PM.make_mesh(axis_names=("seq",)))
+        impl = "xla"
+
     # params/tokens go through jit as ARGUMENTS (captured closures would be
     # baked into the executable as constants -> multi-GB, slow compiles)
     @jax.jit
@@ -134,6 +149,7 @@ def main(argv=None):
             guidance_rescale=args.guidance_rescale, eta=args.eta,
             timestep_spacing=args.timestep_spacing, fs=args.fps,
             dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32,
+            impl=impl, sp=sp,
         )
 
     rng = jax.random.PRNGKey(args.seed)

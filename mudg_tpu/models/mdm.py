@@ -145,13 +145,13 @@ def encode_conditions(params, cfg: MDMConfig, sparse_frames, sparse_depth,
 
 
 def denoise(params, cfg: MDMConfig, z_noisy, t, c_concat, context, class_label,
-            fs=None, *, impl="auto", remat=False, drop_rng=None):
+            fs=None, *, impl="auto", remat=False, drop_rng=None, sp=None):
     """DiffusionWrapper 'hybrid' forward (ddpm3d.py:1320-1324): channel-concat
     conditions + cross-attention context + class label."""
     x = jnp.concatenate([z_noisy, c_concat.astype(z_noisy.dtype)], axis=-1)
     return U.unet_apply(
         params["unet"], cfg.unet, x, t, context, c_label=class_label, fs=fs,
-        impl=impl, remat=remat, drop_rng=drop_rng,
+        impl=impl, remat=remat, drop_rng=drop_rng, sp=sp,
     )
 
 
@@ -162,7 +162,7 @@ def denoise(params, cfg: MDMConfig, z_noisy, t, c_concat, context, class_label,
 def training_loss(
     params, cfg: MDMConfig, sched_arrays: Mapping[str, jnp.ndarray], batch,
     rng, *, null_tokens=None, null_emb=None, train_unet=True, impl="train",
-    remat=True, compute_dtype=jnp.bfloat16,
+    remat=True, compute_dtype=jnp.bfloat16, sp=None,
 ):
     """shared_step/p_losses for the MDM (ddpm3d.py:1056-1149, 741-788).
 
@@ -270,7 +270,7 @@ def training_loss(
         params, cfg, z_noisy.astype(compute_dtype), t,
         c_concat.astype(compute_dtype), context.astype(compute_dtype),
         batch["class_label"],
-        fs=batch.get("fps"), impl=impl, remat=remat, drop_rng=keys[5],
+        fs=batch.get("fps"), impl=impl, remat=remat, drop_rng=keys[5], sp=sp,
     ).astype(jnp.float32)
     target = target.astype(jnp.float32)
     loss_simple = jnp.mean((v_pred - target) ** 2, axis=(1, 2, 3, 4))
@@ -310,6 +310,7 @@ def sample(
     impl: str = "auto",
     dtype=jnp.float32,
     vae_dtype=None,
+    sp=None,
 ):
     """image_guided_synthesis (virtual_pose_render.py:62-147).
 
@@ -326,6 +327,9 @@ def sample(
     parity-faithful; measured decode 188.9 -> 157.3 ms at 70.8 dB pixel PSNR
     vs the f32 decode (scripts/vaebench.py). fp32 GroupNorm/softmax islands
     apply regardless.
+
+    sp: optional parallel.sp.SeqSharding for sequence-parallel single-clip
+    latency scaling over a mesh (requires impl="xla").
     """
     vdt = dtype if vae_dtype is None else vae_dtype
     sched = cfg.schedule()
@@ -368,7 +372,7 @@ def sample(
         xb = jnp.tile(x, (n_var, 1, 1, 1, 1))
         tb = jnp.tile(t, (n_var,))
         v = denoise(params, cfg, xb, tb, cc_all, ctx_all, label_all,
-                    fs=fs_all, impl=impl)
+                    fs=fs_all, impl=impl, sp=sp)
         parts = jnp.split(v, n_var, axis=0)
         if n_var == 3:
             out = D.cfg_combine_multicond(parts[0], parts[1], parts[2],

@@ -154,7 +154,16 @@ def _dropout(x, rate, rng):
     return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
 
 
-def resblock(p, x, emb, *, batch_size=None, dropout=0.0, drop_rng=None):
+def _sp(x, sharding):
+    """Sequence-parallel sharding constraint (parallel/sp.py); no-op when
+    sharding is None, so the default single-chip graph is unchanged."""
+    if sharding is None:
+        return x
+    return jax.lax.with_sharding_constraint(x, sharding)
+
+
+def resblock(p, x, emb, *, batch_size=None, dropout=0.0, drop_rng=None,
+             sp=None):
     """ResBlock (+optional TemporalConvBlock), openaimodel3d.py:109-236.
 
     x: (B*T, H, W, C), emb: (B*T, emb_dim). batch_size enables the temporal
@@ -172,9 +181,11 @@ def resblock(p, x, emb, *, batch_size=None, dropout=0.0, drop_rng=None):
     if "temopral_conv" in p and batch_size is not None:
         bt, hh, ww, c = h.shape
         t = bt // batch_size
-        hv = h.reshape(batch_size, t, hh, ww, c)
+        hv = _sp(h.reshape(batch_size, t, hh, ww, c),
+                 sp.video if sp is not None else None)
         hv = temporal_conv_block(p["temopral_conv"], hv, dropout=dropout, drop_rng=drop_rng)
-        h = hv.reshape(bt, hh, ww, c)
+        h = _sp(hv.reshape(bt, hh, ww, c),
+                sp.rows if sp is not None else None)
     return h
 
 
@@ -194,6 +205,7 @@ def upsample(p, x):
 
 def _apply_block(
     layers_p, layers_plan, h, emb, context, *, cfg, batch_size, impl, drop_rng,
+    sp=None,
 ):
     dropout = cfg.dropout if drop_rng is not None else 0.0
     for idx, (ltype, args) in enumerate(layers_plan):
@@ -202,7 +214,7 @@ def _apply_block(
             h = F.conv2d(p, h)
         elif ltype == "res":
             h = resblock(p, h, emb, batch_size=batch_size, dropout=dropout,
-                         drop_rng=drop_rng)
+                         drop_rng=drop_rng, sp=sp)
         elif ltype == "spatial":
             h = A.spatial_transformer(
                 p, h, context, heads=args["heads"], depth=cfg.transformer_depth,
@@ -212,13 +224,15 @@ def _apply_block(
         elif ltype == "temporal":
             bt, hh, ww, c = h.shape
             t = bt // batch_size
-            hv = h.reshape(batch_size, t, hh, ww, c)
+            hv = _sp(h.reshape(batch_size, t, hh, ww, c),
+                     sp.video if sp is not None else None)
             hv = A.temporal_transformer(
                 p, hv, heads=args["heads"], depth=cfg.transformer_depth,
                 causal=cfg.use_causal_attention,
                 temporal_length=cfg.temporal_length, impl=impl,
             )
-            h = hv.reshape(bt, hh, ww, c)
+            h = _sp(hv.reshape(bt, hh, ww, c),
+                    sp.rows if sp is not None else None)
         elif ltype == "down":
             h = downsample(p, h)
         elif ltype == "up":
@@ -240,12 +254,16 @@ def unet_apply(
     impl="auto",
     remat=False,
     drop_rng=None,
+    sp=None,
 ):
     """UNetModel.forward (openaimodel3d.py:567-628).
 
     x: (B, T, H, W, C_in) channels-last video latents (+concat conditions).
     timesteps: (B,) int; context: (B, 77 + T*16, context_dim) or (B, L, D);
     c_label: (B,) task labels; fs: (B,) frame-stride/fps.
+    sp: optional parallel.sp.SeqSharding — shards spatial layers on the
+    frame axis and temporal layers on W for single-clip latency scaling
+    over a mesh (requires impl="xla"; Pallas calls can't be partitioned).
     Returns (B, T, H, W, out_channels).
     """
     b, t, hh, ww, _ = x.shape
@@ -282,13 +300,18 @@ def unet_apply(
         emb = emb + jnp.repeat(fs_emb, t, axis=0)
 
     h = x.reshape(b * t, hh, ww, x.shape[-1])
+    if sp is not None:
+        h = _sp(h, sp.rows)
+        emb = _sp(emb, sp.rows)
+        context = _sp(context, sp.rows)
 
     inp_plan, mid_plan, out_plan = block_plan(cfg)
 
     def run(plan, p, h):
         def f(p, h, emb, context):
             return _apply_block(p, plan, h, emb, context, cfg=cfg,
-                                batch_size=b, impl=impl, drop_rng=drop_rng)
+                                batch_size=b, impl=impl, drop_rng=drop_rng,
+                                sp=sp)
         if remat:
             # remat=True: full per-block recompute (lowest memory).
             # remat="names": save each transformer block's attention/FF
@@ -312,13 +335,15 @@ def unet_apply(
     for i, plan in enumerate(inp_plan):
         h = run(plan, params["input_blocks"][str(i)], h)
         if i == 0 and cfg.addition_attention:
-            hv = h.reshape(b, t, *h.shape[1:])
+            hv = _sp(h.reshape(b, t, *h.shape[1:]),
+                     sp.video if sp is not None else None)
             hv = A.temporal_transformer(
                 params["init_attn"]["0"], hv, heads=8,
                 depth=cfg.transformer_depth, causal=False,
                 temporal_length=cfg.temporal_length, impl=impl,
             )
-            h = hv.reshape(b * t, *h.shape[1:])
+            h = _sp(hv.reshape(b * t, *h.shape[1:]),
+                    sp.rows if sp is not None else None)
         hs.append(h)
 
     h = run(mid_plan, params["middle_block"], h)

@@ -127,6 +127,7 @@ def make_train_step(
     impl: str = "train",
     remat: bool = True,
     donate: bool = True,
+    sp=None,
 ):
     """Build the jitted train step: (state, batch, rng) -> (state, metrics).
 
@@ -135,6 +136,12 @@ def make_train_step(
     optimizer update (the accumulate_grad_batches analog). `grad_mask` is a
     True/False pytree over trainable params (see temporal_frozen_mask);
     False leaves get zero updates.
+
+    sp: optional parallel.sp.SeqSharding — sequence-parallel the UNet
+    forward/backward (frame-sharded spatial layers, W-sharded temporal
+    layers). An activation-memory and latency lever for MDM1024-scale
+    training when the per-clip activations outgrow one chip; requires
+    impl="xla" (the SPMD partitioner cannot split Pallas calls).
     """
     opt = make_optimizer(tc)
 
@@ -149,7 +156,7 @@ def make_train_step(
         params = merge_params(trainable, frozen)
         return M.training_loss(
             params, cfg, sched_arrays, batch, rng,
-            null_emb=null_emb, impl=impl, remat=remat,
+            null_emb=null_emb, impl=impl, remat=remat, sp=sp,
         )
 
     def step_fn(frozen, state: TrainState, batch, rng):
