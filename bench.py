@@ -21,13 +21,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Persistent compile cache: compiles route through a slow remote service in
-# this environment (~2-8 min for the full model); warm cache entries load in
-# seconds. Harmless when cold.
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(__file__), ".jax_tpu_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+from mudg_tpu.utils.cache import enable_compile_cache
+
+enable_compile_cache(
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_tpu_cache"))
 
 
 def main():

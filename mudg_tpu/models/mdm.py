@@ -32,6 +32,7 @@ from ..core import schedules as S
 from ..diffusion import ddim
 from ..nn import unet3d as U
 from ..nn import vae as V
+from ..parallel.sp import frames as SP_frames
 from ..nn import resampler as R
 from ..conditioning import clip as CL
 
@@ -340,9 +341,13 @@ def sample(
     fs_arr = jnp.full((b,), cfg.default_fs if fs is None else fs, jnp.int32)
 
     # conditions (shared by all CFG variants: c_concat is never dropped,
-    # virtual_pose_render.py:100,108)
+    # virtual_pose_render.py:100,108). Under sp the frozen VAE passes are
+    # frame-sharded too (frames are independent through the 2D encoder), so
+    # the encode/decode around the sampler scales with the mesh as well.
     c_concat = encode_conditions(
-        params, cfg, sparse_frames.astype(vdt), sparse_depth.astype(vdt)
+        params, cfg,
+        SP_frames(sparse_frames.astype(vdt), sp),
+        SP_frames(sparse_depth.astype(vdt), sp),
     ).astype(dtype)
 
     cond_emb = encode_text(params, cfg, tokens).astype(dtype)
@@ -390,6 +395,6 @@ def sample(
     z = ddim.ddim_sample(model_fn, rng, shape, consts, dtype=dtype)
     if not decode:
         return z
-    x = V.decode_video(params["vae"], cfg.vae, z.astype(vdt),
-                       chunk=cfg.vae_chunk)
+    x = V.decode_video(params["vae"], cfg.vae,
+                       SP_frames(z.astype(vdt), sp), chunk=cfg.vae_chunk)
     return jnp.clip(x, -1.0, 1.0).astype(jnp.float32)

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from . import functional as F
 from . import attention as A
 from ..core.schedules import timestep_embedding
+from ..parallel import sp as SP
 
 
 @dataclasses.dataclass(frozen=True)
@@ -154,12 +155,6 @@ def _dropout(x, rate, rng):
     return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
 
 
-def _sp(x, sharding):
-    """Sequence-parallel sharding constraint (parallel/sp.py); no-op when
-    sharding is None, so the default single-chip graph is unchanged."""
-    if sharding is None:
-        return x
-    return jax.lax.with_sharding_constraint(x, sharding)
 
 
 def resblock(p, x, emb, *, batch_size=None, dropout=0.0, drop_rng=None,
@@ -181,11 +176,9 @@ def resblock(p, x, emb, *, batch_size=None, dropout=0.0, drop_rng=None,
     if "temopral_conv" in p and batch_size is not None:
         bt, hh, ww, c = h.shape
         t = bt // batch_size
-        hv = _sp(h.reshape(batch_size, t, hh, ww, c),
-                 sp.video if sp is not None else None)
+        hv = SP.video(h.reshape(batch_size, t, hh, ww, c), sp)
         hv = temporal_conv_block(p["temopral_conv"], hv, dropout=dropout, drop_rng=drop_rng)
-        h = _sp(hv.reshape(bt, hh, ww, c),
-                sp.rows if sp is not None else None)
+        h = SP.rows(hv.reshape(bt, hh, ww, c), sp)
     return h
 
 
@@ -224,15 +217,13 @@ def _apply_block(
         elif ltype == "temporal":
             bt, hh, ww, c = h.shape
             t = bt // batch_size
-            hv = _sp(h.reshape(batch_size, t, hh, ww, c),
-                     sp.video if sp is not None else None)
+            hv = SP.video(h.reshape(batch_size, t, hh, ww, c), sp)
             hv = A.temporal_transformer(
                 p, hv, heads=args["heads"], depth=cfg.transformer_depth,
                 causal=cfg.use_causal_attention,
                 temporal_length=cfg.temporal_length, impl=impl,
             )
-            h = _sp(hv.reshape(bt, hh, ww, c),
-                    sp.rows if sp is not None else None)
+            h = SP.rows(hv.reshape(bt, hh, ww, c), sp)
         elif ltype == "down":
             h = downsample(p, h)
         elif ltype == "up":
@@ -299,11 +290,18 @@ def unet_apply(
         fs_emb = F.linear(params["fps_embedding"]["2"], F.silu(F.linear(params["fps_embedding"]["0"], fs_emb)))
         emb = emb + jnp.repeat(fs_emb, t, axis=0)
 
+    if sp is not None and impl != "xla":
+        # The SPMD partitioner cannot split a tpu_custom_call: any Pallas
+        # kernel inside the sharded graph is a compile-time crash on a real
+        # TPU mesh (invisible on CPU test meshes, where kernels don't
+        # dispatch). Same rule as tensor parallelism (parallel/tp.py).
+        raise ValueError(f"sequence parallelism requires impl='xla', got {impl!r}")
+
     h = x.reshape(b * t, hh, ww, x.shape[-1])
     if sp is not None:
-        h = _sp(h, sp.rows)
-        emb = _sp(emb, sp.rows)
-        context = _sp(context, sp.rows)
+        h = SP.rows(h, sp)
+        emb = SP.rows(emb, sp)
+        context = SP.rows(context, sp)
 
     inp_plan, mid_plan, out_plan = block_plan(cfg)
 
@@ -335,15 +333,13 @@ def unet_apply(
     for i, plan in enumerate(inp_plan):
         h = run(plan, params["input_blocks"][str(i)], h)
         if i == 0 and cfg.addition_attention:
-            hv = _sp(h.reshape(b, t, *h.shape[1:]),
-                     sp.video if sp is not None else None)
+            hv = SP.video(h.reshape(b, t, *h.shape[1:]), sp)
             hv = A.temporal_transformer(
                 params["init_attn"]["0"], hv, heads=8,
                 depth=cfg.transformer_depth, causal=False,
                 temporal_length=cfg.temporal_length, impl=impl,
             )
-            h = _sp(hv.reshape(b * t, *h.shape[1:]),
-                    sp.rows if sp is not None else None)
+            h = SP.rows(hv.reshape(b * t, *h.shape[1:]), sp)
         hs.append(h)
 
     h = run(mid_plan, params["middle_block"], h)

@@ -33,20 +33,24 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 @dataclasses.dataclass(frozen=True)
 class SeqSharding:
-    """Shardings for the two UNet activation layouts.
+    """Shardings for the UNet/VAE activation layouts.
 
-    rows:  applied to (B*T, ...) spatial-layer activations (shards dim 0;
-           also used for the per-frame emb/context tensors).
-    video: applied to (B, T, H, W, C) temporal-layer activations (shards W).
+    rows:   applied to (B*T, ...) spatial-layer activations (shards dim 0;
+            also used for the per-frame emb/context tensors).
+    video:  applied to (B, T, H, W, C) temporal-layer activations (shards W).
+    frames: applied to (B, T, H, W, C) per-frame-independent video tensors
+            (shards T) — the frozen VAE encode/decode around the sampler.
     """
     rows: NamedSharding
     video: NamedSharding
+    frames: NamedSharding
 
 
 def make_seq_sharding(mesh: Mesh, axis: str = "seq") -> SeqSharding:
     return SeqSharding(
         rows=NamedSharding(mesh, P(axis)),
         video=NamedSharding(mesh, P(None, None, None, axis)),
+        frames=NamedSharding(mesh, P(None, axis)),
     )
 
 
@@ -55,3 +59,15 @@ def constrain(x, sharding: NamedSharding | None):
     if sharding is None:
         return x
     return jax.lax.with_sharding_constraint(x, sharding)
+
+
+def rows(x, sp: SeqSharding | None):
+    return x if sp is None else constrain(x, sp.rows)
+
+
+def video(x, sp: SeqSharding | None):
+    return x if sp is None else constrain(x, sp.video)
+
+
+def frames(x, sp: SeqSharding | None):
+    return x if sp is None else constrain(x, sp.frames)
