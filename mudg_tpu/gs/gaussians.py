@@ -79,9 +79,15 @@ class Projected(NamedTuple):
     depths: jnp.ndarray   # (N,)
     conics: jnp.ndarray   # (N, 3) inverse 2D covariance (a, b, c) for
                           # a*dx^2 + 2*b*dx*dy + c*dy^2
-    radii: jnp.ndarray    # (N,) pixel radius (3 sigma)
+    radii: jnp.ndarray    # (N,) pixel radius (3 sigma, isotropic bound)
     opacities: jnp.ndarray  # (N,) sigmoid
     visible: jnp.ndarray  # (N,) bool
+    extents: jnp.ndarray  # (N, 2) tight per-axis AABB half-extents of the
+                          # ellipse where alpha can still reach ALPHA_MIN:
+                          # sqrt(qmax * diag(cov2d)) with qmax = 2*ln(255*op).
+                          # Opacity-aware (low-opacity splats shrink) and
+                          # anisotropy-aware — FlashGS-style pair culling.
+    qmax: jnp.ndarray     # (N,) the alpha-cutoff level-set value itself
 
 
 def project_gaussians(g: Gaussians, K, w2c, *, width: int, height: int,
@@ -122,18 +128,66 @@ def project_gaussians(g: Gaussians, K, w2c, *, width: int, height: int,
     lam1 = mid + jnp.sqrt(jnp.maximum(mid**2 - det, 0.0))
     radii = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lam1, 0.0)))
 
+    # Tight per-axis AABB of the alpha cutoff: the compositors zero every
+    # alpha below ALPHA_MIN, so a splat contributes only where
+    # op*exp(-q/2) >= 1/255  <=>  q(d) <= qmax := 2*ln(255*op). The AABB
+    # half-extents of that ellipse are sqrt(qmax * diag(cov2d)) — exact, so
+    # tiles outside contribute exactly 0 (and 0 grads) and may be culled.
+    # This both shrinks low-opacity splats (op=0.1 -> 2.54 sigma) and fixes
+    # the 3-sigma circle's truncation of near-opaque ones (op~1 -> 3.33).
+    opacities = jax.nn.sigmoid(g.opacity)
+    qmax = 2.0 * jnp.log(jnp.maximum(opacities, 1e-12) * 255.0)
+    qpos = jnp.maximum(qmax, 0.0)
+    ext = jnp.ceil(jnp.sqrt(
+        qpos[:, None] * jnp.maximum(
+            jnp.stack([cov2d[:, 0, 0], cov2d[:, 1, 1]], -1), 0.0)))
+
     visible = (
         g.active
         & (z > near) & (z < far)
-        & (u + radii > 0) & (u - radii < width)
-        & (v + radii > 0) & (v - radii < height)
-        & (radii > 0)
+        & (u + ext[:, 0] > 0) & (u - ext[:, 0] < width)
+        & (v + ext[:, 1] > 0) & (v - ext[:, 1] < height)
+        & (qmax > 0) & (ext[:, 0] > 0) & (ext[:, 1] > 0)
     )
     return Projected(
         means2d=jnp.stack([u, v], -1),
         depths=z,
         conics=inv,
         radii=radii,
-        opacities=jax.nn.sigmoid(g.opacity),
+        opacities=opacities,
         visible=visible,
+        extents=ext,
+        qmax=qmax,
     )
+
+
+def rect_qmin(mux, muy, ca, cb, cc, lx, hx, ly, hy):
+    """Exact minimum of q(d) = ca*dx^2 + 2*cb*dx*dy + cc*dy^2 over the rect
+    [lx,hx]x[ly,hy] around the mean (mux, muy). The conic is PD (ca, cc > 0,
+    cb^2 < ca*cc after the eps2d low-pass), so q is convex: the minimum is 0
+    when the mean lies inside, else it sits on one of the four edges, each a
+    clamped 1D quadratic minimization in closed form. Used for exact
+    ellipse-tile intersection culling (FlashGS-style, arXiv 2408.07967)."""
+    dx0, dx1 = lx - mux, hx - mux
+    dy0, dy1 = ly - muy, hy - muy
+    # degenerate-conic guard: keeps the edge-minimizer ratios finite (a 0/0
+    # NaN would wrongly cull); the clip below absorbs the huge-ratio case
+    ca = jnp.maximum(ca, 1e-20)
+    cc = jnp.maximum(cc, 1e-20)
+
+    def q(dx, dy):
+        return ca * dx * dx + 2.0 * cb * dx * dy + cc * dy * dy
+
+    inside = (dx0 <= 0) & (dx1 >= 0) & (dy0 <= 0) & (dy1 >= 0)
+    qx0 = q(dx0, jnp.clip(-cb * dx0 / cc, dy0, dy1))
+    qx1 = q(dx1, jnp.clip(-cb * dx1 / cc, dy0, dy1))
+    qy0 = q(jnp.clip(-cb * dy0 / ca, dx0, dx1), dy0)
+    qy1 = q(jnp.clip(-cb * dy1 / ca, dx0, dx1), dy1)
+    qmin = jnp.minimum(jnp.minimum(qx0, qx1), jnp.minimum(qy0, qy1))
+    return jnp.where(inside, 0.0, qmin)
+
+
+# Safety margin on the cull threshold: the compositor computes q with a
+# different op fusion order, so borderline pairs get a tiny benefit of the
+# doubt (the margin admits alphas down to ~1/255 * (1 - 5e-4) — invisible).
+QMAX_CULL_EPS = 1e-3

@@ -27,7 +27,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .gaussians import Gaussians, Projected, project_gaussians
+from .gaussians import (Gaussians, Projected, project_gaussians,
+                        QMAX_CULL_EPS, rect_qmin as G_rect_qmin)
 
 TILE = 16
 ALPHA_MIN = 1.0 / 255.0
@@ -69,10 +70,12 @@ def rasterize(
     tpg = tiles_per_gaussian
 
     # --- gaussian -> tile duplication (static tpg slots per gaussian) -------
-    x0 = jnp.floor((proj.means2d[:, 0] - proj.radii) / TILE).astype(jnp.int32)
-    x1 = jnp.floor((proj.means2d[:, 0] + proj.radii) / TILE).astype(jnp.int32)
-    y0 = jnp.floor((proj.means2d[:, 1] - proj.radii) / TILE).astype(jnp.int32)
-    y1 = jnp.floor((proj.means2d[:, 1] + proj.radii) / TILE).astype(jnp.int32)
+    # tight per-axis opacity-aware AABB (gaussians.py extents): exact wrt the
+    # ALPHA_MIN cutoff, so culled tiles lose exactly-zero contributions
+    x0 = jnp.floor((proj.means2d[:, 0] - proj.extents[:, 0]) / TILE).astype(jnp.int32)
+    x1 = jnp.floor((proj.means2d[:, 0] + proj.extents[:, 0]) / TILE).astype(jnp.int32)
+    y0 = jnp.floor((proj.means2d[:, 1] - proj.extents[:, 1]) / TILE).astype(jnp.int32)
+    y1 = jnp.floor((proj.means2d[:, 1] + proj.extents[:, 1]) / TILE).astype(jnp.int32)
     x0 = jnp.clip(x0, 0, tw - 1); x1 = jnp.clip(x1, 0, tw - 1)
     y0 = jnp.clip(y0, 0, th - 1); y1 = jnp.clip(y1, 0, th - 1)
     span_x = x1 - x0 + 1
@@ -88,6 +91,17 @@ def rasterize(
         & (slot[None, :] < span_x[:, None] * span_y[:, None])
         & (tile_y <= y1[:, None])
     )
+    # exact ellipse-tile intersection: keep a pair only if q can reach qmax
+    # somewhere among the tile's pixel centers (min over the center rect)
+    qmin = G_rect_qmin(
+        proj.means2d[:, 0:1], proj.means2d[:, 1:2],
+        proj.conics[:, 0:1], proj.conics[:, 1:2], proj.conics[:, 2:3],
+        tile_x.astype(jnp.float32) * TILE + 0.5,
+        tile_x.astype(jnp.float32) * TILE + (TILE - 0.5),
+        tile_y.astype(jnp.float32) * TILE + 0.5,
+        tile_y.astype(jnp.float32) * TILE + (TILE - 0.5),
+    )
+    pair_valid &= qmin <= proj.qmax[:, None] + QMAX_CULL_EPS
     n_dropped = jnp.sum(
         jnp.maximum(span_x * span_y - tpg, 0) * proj.visible
     )

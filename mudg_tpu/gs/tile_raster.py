@@ -32,7 +32,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .gaussians import Gaussians, project_gaussians
+from .gaussians import (Gaussians, project_gaussians, rect_qmin,
+                        QMAX_CULL_EPS)
 from .rasterize import RasterOut, TILE, ALPHA_MIN, T_MIN, _tile_grid
 
 NPIX = TILE * TILE  # 256
@@ -101,10 +102,13 @@ def build_pairs(proj, colors, *, width: int, height: int, max_pairs: int):
     tw, th = _tile_grid(width, height)
     n_tiles = tw * th
 
-    x0 = jnp.clip(jnp.floor((proj.means2d[:, 0] - proj.radii) / TILE), 0, tw - 1).astype(jnp.int32)
-    x1 = jnp.clip(jnp.floor((proj.means2d[:, 0] + proj.radii) / TILE), 0, tw - 1).astype(jnp.int32)
-    y0 = jnp.clip(jnp.floor((proj.means2d[:, 1] - proj.radii) / TILE), 0, th - 1).astype(jnp.int32)
-    y1 = jnp.clip(jnp.floor((proj.means2d[:, 1] + proj.radii) / TILE), 0, th - 1).astype(jnp.int32)
+    # tight per-axis opacity-aware AABB (gaussians.py extents): exact wrt the
+    # ALPHA_MIN cutoff — shrinks the enumerated span (and with it the
+    # max_pairs budget a scene needs) vs the 3-sigma isotropic circle
+    x0 = jnp.clip(jnp.floor((proj.means2d[:, 0] - proj.extents[:, 0]) / TILE), 0, tw - 1).astype(jnp.int32)
+    x1 = jnp.clip(jnp.floor((proj.means2d[:, 0] + proj.extents[:, 0]) / TILE), 0, tw - 1).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((proj.means2d[:, 1] - proj.extents[:, 1]) / TILE), 0, th - 1).astype(jnp.int32)
+    y1 = jnp.clip(jnp.floor((proj.means2d[:, 1] + proj.extents[:, 1]) / TILE), 0, th - 1).astype(jnp.int32)
     span = jnp.where(proj.visible, (x1 - x0 + 1) * (y1 - y0 + 1), 0)
     offsets = jnp.cumsum(span)                       # inclusive
     total = offsets[-1]
@@ -127,6 +131,20 @@ def build_pairs(proj, colors, *, width: int, height: int, max_pairs: int):
     sx = local % jnp.maximum(x1[gi] - x0[gi] + 1, 1)
     sy = local // jnp.maximum(x1[gi] - x0[gi] + 1, 1)
     tile_id = jnp.where(valid, (y0[gi] + sy) * tw + (x0[gi] + sx), n_tiles)
+
+    # exact ellipse-tile intersection cull (FlashGS-style): a pair survives
+    # only if alpha can reach ALPHA_MIN at some pixel center of its tile.
+    # Culled pairs sort into the overflow bin, shrinking per-tile segments
+    # for the composite kernels; their contribution (and grads) is exactly 0.
+    ctab = jnp.concatenate(
+        [proj.means2d, proj.conics, proj.qmax[:, None]], axis=1)
+    cf = ctab[gi]
+    tx = (x0[gi] + sx).astype(jnp.float32) * TILE
+    ty = (y0[gi] + sy).astype(jnp.float32) * TILE
+    qmin = rect_qmin(cf[:, 0], cf[:, 1], cf[:, 2], cf[:, 3], cf[:, 4],
+                     tx + 0.5, tx + (TILE - 0.5),
+                     ty + 0.5, ty + (TILE - 0.5))
+    tile_id = jnp.where(qmin <= cf[:, 5] + QMAX_CULL_EPS, tile_id, n_tiles)
 
     # (tile, depth) lexicographic order in ONE variadic sort: lax.sort with
     # num_keys=2 sorts by tile then depth and carries gi along, replacing two

@@ -14,6 +14,8 @@ from mudg_tpu.gs.gaussians import init_from_points
 
 
 def make_scene(n, seed=0):
+    import os
+
     rng = np.random.default_rng(seed)
     # urban-ish: points spread over a 200m x 60m x 20m slab in front
     xyz = np.stack([
@@ -23,6 +25,11 @@ def make_scene(n, seed=0):
     rgb = rng.random((n, 3)).astype(np.float32)
     g = init_from_points(jnp.asarray(xyz), jnp.asarray(rgb),
                          init_scale=0.25, opacity=0.5)
+    if os.environ.get("GSBENCH_MIXED") == "1":
+        # trained-scene-like opacity spread (most splats translucent):
+        # exercises the opacity-aware extents culling
+        logits = rng.normal(-2.0, 1.5, n).astype(np.float32)
+        g = g._replace(opacity=jnp.asarray(logits))
     K = jnp.asarray([[560.0, 0, 480.0], [0, 560.0, 320.0], [0, 0, 1]])
     return g, K, jnp.eye(4)
 

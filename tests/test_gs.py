@@ -112,6 +112,54 @@ def test_gradients_flow():
     assert float(jnp.abs(grads[2]).sum()) > 0
 
 
+def test_rect_qmin_matches_dense_grid():
+    """Closed-form convex-quadratic rect minimum vs dense evaluation."""
+    rng = np.random.default_rng(0)
+    n = 256
+    # random PD conics: a, c > 0, b^2 < a*c
+    a = rng.uniform(0.05, 3.0, n).astype(np.float32)
+    c = rng.uniform(0.05, 3.0, n).astype(np.float32)
+    b = (rng.uniform(-0.95, 0.95, n) * np.sqrt(a * c)).astype(np.float32)
+    mux = rng.uniform(-20, 20, n).astype(np.float32)
+    muy = rng.uniform(-20, 20, n).astype(np.float32)
+    lx = rng.uniform(-12, 8, n).astype(np.float32)
+    hx = lx + rng.uniform(1, 16, n).astype(np.float32)
+    ly = rng.uniform(-12, 8, n).astype(np.float32)
+    hy = ly + rng.uniform(1, 16, n).astype(np.float32)
+
+    got = np.asarray(G.rect_qmin(*map(jnp.asarray, (mux, muy, a, b, c,
+                                                    lx, hx, ly, hy))))
+    # dense grid over each rect (edges included): grid min >= exact min, and
+    # approaches it as the grid refines
+    ts = np.linspace(0, 1, 41, dtype=np.float32)
+    gx = lx[:, None, None] + (hx - lx)[:, None, None] * ts[None, :, None]
+    gy = ly[:, None, None] + (hy - ly)[:, None, None] * ts[None, None, :]
+    dx, dy = gx - mux[:, None, None], gy - muy[:, None, None]
+    q = (a[:, None, None] * dx * dx + 2 * b[:, None, None] * dx * dy
+         + c[:, None, None] * dy * dy)
+    dense = q.reshape(n, -1).min(1)
+    assert np.all(got <= dense + 1e-4)        # never overestimates
+    assert np.all(dense - got < 0.8)          # and is tight (grid gap only)
+    inside = ((mux >= lx) & (mux <= hx) & (muy >= ly) & (muy <= hy))
+    np.testing.assert_allclose(got[inside], 0.0, atol=1e-6)
+
+
+def test_extents_opacity_aware():
+    """Low-opacity splats get smaller boxes; near-opaque slightly larger
+    than 3 sigma (the cutoff ellipse extends past it)."""
+    K, w2c = _cam()
+    hi = _one_gaussian(opacity=8.0)    # sigmoid ~ 0.9997
+    lo = _one_gaussian(opacity=-3.0)   # sigmoid ~ 0.047
+    p_hi = G.project_gaussians(hi, K, w2c, width=32, height=32)
+    p_lo = G.project_gaussians(lo, K, w2c, width=32, height=32)
+    assert float(p_hi.extents[0, 0]) >= float(p_hi.radii[0])
+    assert float(p_lo.extents[0, 0]) < float(p_lo.radii[0])
+    # op below 1/255 can never pass the alpha cutoff -> invisible
+    never = _one_gaussian(opacity=-6.0)  # sigmoid ~ 0.0025 < 1/255
+    p_never = G.project_gaussians(never, K, w2c, width=32, height=32)
+    assert not bool(p_never.visible[0])
+
+
 def test_init_from_points_padding():
     xyz = jnp.ones((5, 3))
     rgb = jnp.full((5, 3), 0.5)

@@ -92,6 +92,68 @@ def test_gradients_match_xla_path():
             err_msg=f"grad mismatch for {name}")
 
 
+def _brute_force(g, K, w2c, width, height):
+    """Tiling-free per-pixel oracle: every gaussian composited over every
+    pixel in depth order with the exact production cutoffs (ALPHA_MIN zero,
+    0.999 clamp, T_MIN stop). Independent of AABBs/extents/tile culling, so
+    it catches any pair the tiled paths wrongly cull."""
+    from mudg_tpu.gs.gaussians import project_gaussians
+    from mudg_tpu.gs.rasterize import ALPHA_MIN, T_MIN
+
+    proj = project_gaussians(g, K, w2c, width=width, height=height)
+    # depth order with stable ties (matches the (tile, depth, gi) sort)
+    order = jnp.argsort(proj.depths, stable=True)
+    px, py = jnp.meshgrid(jnp.arange(width, dtype=jnp.float32) + 0.5,
+                          jnp.arange(height, dtype=jnp.float32) + 0.5,
+                          indexing="xy")
+    in_front = g.active & (proj.depths > 0.05)
+
+    def body(carry, gi):
+        color, depth, T = carry
+        mu = proj.means2d[gi]
+        a, b_, c = proj.conics[gi, 0], proj.conics[gi, 1], proj.conics[gi, 2]
+        dx, dy = px - mu[0], py - mu[1]
+        power = -0.5 * (a * dx * dx + c * dy * dy) - b_ * dx * dy
+        alpha = jnp.minimum(proj.opacities[gi] * jnp.exp(power), 0.999)
+        alpha = jnp.where(in_front[gi] & (alpha >= ALPHA_MIN) & (T > T_MIN),
+                          alpha, 0.0)
+        w = alpha * T
+        color = color + w[..., None] * g.colors[gi]
+        depth = depth + w * proj.depths[gi]
+        return (color, depth, T * (1.0 - alpha)), None
+
+    c0 = jnp.zeros((height, width, 3))
+    d0 = jnp.zeros((height, width))
+    t0 = jnp.ones((height, width))
+    (color, depth, T), _ = jax.lax.scan(body, (c0, d0, t0), order)
+    return color, depth, 1.0 - T
+
+
+def test_culling_is_exact_vs_brute_force():
+    """Tight extents + the ellipse-tile cull must not change any output:
+    mixed very-low / near-opaque opacities exercise both the shrunk and the
+    grown (beyond-3-sigma) AABBs."""
+    g, K, w2c = _scene(n=80)
+    rng = np.random.default_rng(3)
+    op = rng.choice([-4.0, -1.0, 3.0, 8.0], size=(g.n,)).astype(np.float32)
+    g = g._replace(opacity=jnp.asarray(op))
+    ref_c, ref_d, ref_a = _brute_force(g, K, w2c, WIDTH, HEIGHT)
+
+    out = R.rasterize(g, K, w2c, width=WIDTH, height=HEIGHT,
+                      max_per_tile=512, tiles_per_gaussian=64)
+    assert int(out.n_dropped) == 0
+    np.testing.assert_allclose(np.asarray(out.color), np.asarray(ref_c), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(out.alpha), np.asarray(ref_a), atol=3e-5)
+
+    out = TR.rasterize_pallas(g, K, w2c, width=WIDTH, height=HEIGHT,
+                              max_pairs=8192)
+    assert int(out.n_dropped) == 0
+    np.testing.assert_allclose(np.asarray(out.color), np.asarray(ref_c), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(out.alpha), np.asarray(ref_a), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(out.depth), np.asarray(ref_d), atol=3e-4)
+    assert float(jnp.max(out.alpha)) > 0.2  # scene isn't trivially empty
+
+
 def test_overflow_reported_not_silent():
     g, K, w2c = _scene(n=400)
     out = TR.rasterize_pallas(g, K, w2c, width=WIDTH, height=HEIGHT,
