@@ -191,3 +191,35 @@ def rect_qmin(mux, muy, ca, cb, cc, lx, hx, ly, hy):
 # different op fusion order, so borderline pairs get a tiny benefit of the
 # doubt (the margin admits alphas down to ~1/255 * (1 - 5e-4) — invisible).
 QMAX_CULL_EPS = 1e-3
+
+
+def ellipse_row_xrange(ca, cb, cc, Q, dyl, dyu):
+    """Exact x-interval (relative to the mean) of {q(d) <= Q} restricted to
+    dy in [dyl, dyu], where q = ca*dx^2 + 2*cb*dx*dy + cc*dy^2 is PD.
+
+    At fixed dy the sublevel set is the interval m(dy) +- h(dy) with
+    m = -(cb/ca)*dy, h = sqrt(ca*Q - det*dy^2)/ca (det = ca*cc - cb^2);
+    the union over the clipped dy range has hi = max(m+h) attained either at
+    an endpoint or at the interior argmax dy* = -cb*sqrt(Q/(cc*det)) where it
+    equals the global half-extent sqrt(Q*cc/det) (and symmetrically for lo).
+    Returns (lo, hi, nonempty)."""
+    ca = jnp.maximum(ca, 1e-20)
+    cc = jnp.maximum(cc, 1e-20)
+    det = jnp.maximum(ca * cc - cb * cb, 1e-30)
+    Qp = jnp.maximum(Q, 0.0)
+    ey = jnp.sqrt(ca * Qp / det)          # dy support half-width
+    nonempty = (dyl <= ey) & (dyu >= -ey) & (Q > 0)
+    l = jnp.clip(dyl, -ey, ey)
+    u = jnp.clip(dyu, -ey, ey)
+
+    def mh(dy, sign):
+        h = jnp.sqrt(jnp.maximum(ca * Qp - det * dy * dy, 0.0)) / ca
+        return -(cb / ca) * dy + sign * h
+
+    ex = jnp.sqrt(cc * Qp / det)          # global dx half-extent
+    dy_star = -cb * jnp.sqrt(Qp / (cc * det))
+    hi = jnp.where((dy_star >= l) & (dy_star <= u), ex,
+                   jnp.maximum(mh(l, 1.0), mh(u, 1.0)))
+    lo = jnp.where((-dy_star >= l) & (-dy_star <= u), -ex,
+                   jnp.minimum(mh(l, -1.0), mh(u, -1.0)))
+    return lo, hi, nonempty

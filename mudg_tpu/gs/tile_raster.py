@@ -4,8 +4,10 @@ Scales the 3DGS subsystem past the XLA sort+scan path (gs/rasterize.py),
 replacing the external CUDA rasterizer dependency of the reference
 (README.md:113-114; SURVEY §2.7(5)). Differences from the XLA path:
 
-  * no per-gaussian tile cap: gaussian->tile pairs are enumerated exactly via
-    a cumsum/searchsorted expansion under a single global `max_pairs` budget
+  * no per-gaussian tile cap: gaussian->tile pairs are enumerated EXACTLY —
+    a two-level ragged expansion (gaussian -> ellipse rows -> the tiles each
+    row's closed-form x-interval touches, FlashGS-style) under a single
+    global `max_pairs` budget; no AABB slack reaches the sort or the budget
     (overflow degrades gracefully: the deepest-sorted tail is dropped and
     reported, not silently mis-rendered),
   * no per-tile capacity: each tile's sorted segment is streamed through
@@ -32,7 +34,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .gaussians import (Gaussians, project_gaussians, rect_qmin,
+from .gaussians import (Gaussians, project_gaussians, ellipse_row_xrange,
                         QMAX_CULL_EPS)
 from .rasterize import RasterOut, TILE, ALPHA_MIN, T_MIN, _tile_grid
 
@@ -94,57 +96,73 @@ def _kernel_pack(g):
     return out
 
 
-def build_pairs(proj, colors, *, width: int, height: int, max_pairs: int):
+def _expand(span, max_slots):
+    """Ragged expansion: item i owns span[i] consecutive slots. Returns
+    (owner (max_slots,) i32, local (max_slots,) i32, valid, total). Owner is
+    recovered by scatter-at-starts + cummax (a searchsorted here costs
+    ~570 ms at 4M slots on v5e — XLA lowers it to a per-iteration gather
+    binary search)."""
+    offsets = jnp.cumsum(span)                       # inclusive
+    total = offsets[-1]
+    starts = offsets - span                          # exclusive starts
+    slot = jnp.arange(max_slots, dtype=jnp.int32)
+    mark = jnp.full((max_slots,), -1, jnp.int32)
+    src_ids = jnp.arange(span.shape[0], dtype=jnp.int32)
+    scat_at = jnp.where((span > 0) & (starts < max_slots),
+                        starts, max_slots)           # OOB drops
+    mark = mark.at[scat_at].max(src_ids, mode="drop")
+    owner = jnp.maximum(jax.lax.cummax(mark), 0)
+    local = slot - starts[owner]
+    return owner, local, slot < total, total
+
+
+def build_pairs(proj, colors, *, width: int, height: int, max_pairs: int,
+                max_rows: int | None = None):
     """Returns (feats8 (P_pad/8, 128) f32, bounds (n_tiles+1,) i32 with every
     segment padded to a CK multiple, n_dropped). Pair lanes:
     [mux, muy, conic_a, conic_b, conic_c, opacity, r, g, b, depth, 0...];
-    padding pairs are all-zero (alpha == 0, no contribution, zero grads)."""
+    padding pairs are all-zero (alpha == 0, no contribution, zero grads).
+
+    Pair enumeration is EXACT (FlashGS-style, arXiv 2408.07967): gaussians
+    expand to tile ROWS over the alpha-cutoff ellipse's y-extent, each row
+    expands to exactly the tiles its row x-interval (ellipse_row_xrange)
+    touches. No AABB slack ever reaches the sort or the budget, so max_pairs
+    only needs to cover true intersections (2-4x less than a bounding-box
+    enumeration for typical anisotropic/low-opacity scenes)."""
     tw, th = _tile_grid(width, height)
     n_tiles = tw * th
+    max_rows = max_rows or max(max_pairs // 2, 1024)
 
-    # tight per-axis opacity-aware AABB (gaussians.py extents): exact wrt the
-    # ALPHA_MIN cutoff — shrinks the enumerated span (and with it the
-    # max_pairs budget a scene needs) vs the 3-sigma isotropic circle
-    x0 = jnp.clip(jnp.floor((proj.means2d[:, 0] - proj.extents[:, 0]) / TILE), 0, tw - 1).astype(jnp.int32)
-    x1 = jnp.clip(jnp.floor((proj.means2d[:, 0] + proj.extents[:, 0]) / TILE), 0, tw - 1).astype(jnp.int32)
+    # level 1: gaussian -> tile rows over the cutoff ellipse's y-extent
     y0 = jnp.clip(jnp.floor((proj.means2d[:, 1] - proj.extents[:, 1]) / TILE), 0, th - 1).astype(jnp.int32)
     y1 = jnp.clip(jnp.floor((proj.means2d[:, 1] + proj.extents[:, 1]) / TILE), 0, th - 1).astype(jnp.int32)
-    span = jnp.where(proj.visible, (x1 - x0 + 1) * (y1 - y0 + 1), 0)
-    offsets = jnp.cumsum(span)                       # inclusive
-    total = offsets[-1]
-    n_dropped = jnp.maximum(total - max_pairs, 0)
+    row_span = jnp.where(proj.visible, y1 - y0 + 1, 0)
+    rg, rlocal, row_valid, total_rows = _expand(row_span, max_rows)
+    ty = y0[rg] + rlocal
 
-    # pair slot j -> owning gaussian. scatter each gaussian's id at its
-    # segment start + cummax (a searchsorted here costs ~570 ms at 4M slots
-    # on v5e — XLA lowers it to a per-iteration gather binary search)
-    slot = jnp.arange(max_pairs, dtype=jnp.int32)
-    starts_excl = offsets - span                     # exclusive starts
-    mark = jnp.full((max_pairs,), -1, jnp.int32)
-    src_ids = jnp.arange(span.shape[0], dtype=jnp.int32)
-    scat_at = jnp.where((span > 0) & (starts_excl < max_pairs),
-                        starts_excl, max_pairs)      # OOB drops
-    mark = mark.at[scat_at].max(src_ids, mode="drop")
-    gi = jnp.maximum(jax.lax.cummax(mark), 0)
-    local = slot - starts_excl[gi]
-    valid = slot < total
-
-    sx = local % jnp.maximum(x1[gi] - x0[gi] + 1, 1)
-    sy = local // jnp.maximum(x1[gi] - x0[gi] + 1, 1)
-    tile_id = jnp.where(valid, (y0[gi] + sy) * tw + (x0[gi] + sx), n_tiles)
-
-    # exact ellipse-tile intersection cull (FlashGS-style): a pair survives
-    # only if alpha can reach ALPHA_MIN at some pixel center of its tile.
-    # Culled pairs sort into the overflow bin, shrinking per-tile segments
-    # for the composite kernels; their contribution (and grads) is exactly 0.
+    # exact x-interval of the ellipse within this row's pixel-center band
     ctab = jnp.concatenate(
         [proj.means2d, proj.conics, proj.qmax[:, None]], axis=1)
-    cf = ctab[gi]
-    tx = (x0[gi] + sx).astype(jnp.float32) * TILE
-    ty = (y0[gi] + sy).astype(jnp.float32) * TILE
-    qmin = rect_qmin(cf[:, 0], cf[:, 1], cf[:, 2], cf[:, 3], cf[:, 4],
-                     tx + 0.5, tx + (TILE - 0.5),
-                     ty + 0.5, ty + (TILE - 0.5))
-    tile_id = jnp.where(qmin <= cf[:, 5] + QMAX_CULL_EPS, tile_id, n_tiles)
+    cf = ctab[rg]
+    mux, muy = cf[:, 0], cf[:, 1]
+    ry = ty.astype(jnp.float32) * TILE
+    lo, hi, nonempty = ellipse_row_xrange(
+        cf[:, 2], cf[:, 3], cf[:, 4], cf[:, 5] + QMAX_CULL_EPS,
+        ry + 0.5 - muy, ry + (TILE - 0.5) - muy)
+    # tiles whose pixel-center column range [tx*T+0.5, tx*T+T-0.5] overlaps
+    # [mux+lo, mux+hi]; emptiness decided BEFORE clipping to the image
+    tx0 = jnp.ceil((mux + lo - (TILE - 0.5)) / TILE).astype(jnp.int32)
+    tx1 = jnp.floor((mux + hi - 0.5) / TILE).astype(jnp.int32)
+    tx0 = jnp.maximum(tx0, 0)
+    tx1 = jnp.minimum(tx1, tw - 1)
+    span_x = jnp.where(row_valid & nonempty & (tx1 >= tx0), tx1 - tx0 + 1, 0)
+
+    # level 2: row -> pairs
+    rr, plocal, valid, total = _expand(span_x, max_pairs)
+    gi = rg[rr]
+    tile_id = jnp.where(valid, ty[rr] * tw + tx0[rr] + plocal, n_tiles)
+    n_dropped = (jnp.maximum(total - max_pairs, 0)
+                 + jnp.maximum(total_rows - max_rows, 0))
 
     # (tile, depth) lexicographic order in ONE variadic sort: lax.sort with
     # num_keys=2 sorts by tile then depth and carries gi along, replacing two
@@ -511,6 +529,7 @@ def rasterize_pallas(
     width: int,
     height: int,
     max_pairs: int = 2 ** 21,
+    max_rows: int | None = None,
     bg_color=(0.0, 0.0, 0.0),
 ) -> RasterOut:
     """Pallas-tiled differentiable rasterization (drop-in for
@@ -519,7 +538,8 @@ def rasterize_pallas(
     n_tiles = tw * th
     proj = project_gaussians(g, K, w2c, width=width, height=height)
     feats, bounds, n_dropped = build_pairs(
-        proj, g.colors, width=width, height=height, max_pairs=max_pairs)
+        proj, g.colors, width=width, height=height, max_pairs=max_pairs,
+        max_rows=max_rows)
     out = composite_tiles(feats, bounds, n_tiles, tw)
 
     color = out[:, 0:3, :].transpose(0, 2, 1)   # (n_tiles, NPIX, 3)

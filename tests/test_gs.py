@@ -144,6 +144,46 @@ def test_rect_qmin_matches_dense_grid():
     np.testing.assert_allclose(got[inside], 0.0, atol=1e-6)
 
 
+def test_row_xrange_matches_rect_qmin():
+    """The ragged-row enumeration (ellipse_row_xrange) must include exactly
+    the tiles the per-tile rect test includes (same Q, pixel-center rects),
+    up to fp noise at the decision boundary."""
+    rng = np.random.default_rng(1)
+    n, T = 64, 16
+    a = rng.uniform(0.001, 0.3, n).astype(np.float32)
+    c = rng.uniform(0.001, 0.3, n).astype(np.float32)
+    b = (rng.uniform(-0.9, 0.9, n) * np.sqrt(a * c)).astype(np.float32)
+    mux = rng.uniform(-10, 170, n).astype(np.float32)
+    muy = rng.uniform(-10, 170, n).astype(np.float32)
+    Q = rng.uniform(2.0, 12.0, n).astype(np.float32)
+
+    txs, tys = np.meshgrid(np.arange(10), np.arange(10), indexing="xy")
+    txs, tys = txs.ravel(), tys.ravel()  # 100 tiles
+
+    def bc(x):  # (n, 1) for broadcasting against (tiles,)
+        return jnp.asarray(x)[:, None]
+
+    lx = jnp.asarray(txs * T + 0.5)[None, :]
+    hx = jnp.asarray(txs * T + T - 0.5)[None, :]
+    ly = jnp.asarray(tys * T + 0.5)[None, :]
+    hy = jnp.asarray(tys * T + T - 0.5)[None, :]
+    qmin = np.asarray(G.rect_qmin(bc(mux), bc(muy), bc(a), bc(b), bc(c),
+                                  lx, hx, ly, hy))
+    inc_rect = qmin <= Q[:, None]
+
+    lo, hi, ne = G.ellipse_row_xrange(bc(a), bc(b), bc(c), bc(Q),
+                                      ly - bc(muy), hy - bc(muy))
+    lo, hi, ne = np.asarray(lo), np.asarray(hi), np.asarray(ne)
+    inc_row = ne & (np.asarray(lx) <= mux[:, None] + hi) \
+        & (np.asarray(hx) >= mux[:, None] + lo)
+
+    boundary = np.abs(qmin - Q[:, None]) < 1e-2
+    mismatch = (inc_rect != inc_row) & ~boundary
+    assert not mismatch.any(), f"{mismatch.sum()} mismatches off-boundary"
+    # and the test is non-vacuous: plenty of included and excluded tiles
+    assert inc_rect.sum() > 100 and (~inc_rect).sum() > 100
+
+
 def test_extents_opacity_aware():
     """Low-opacity splats get smaller boxes; near-opaque slightly larger
     than 3 sigma (the cutoff ellipse extends past it)."""
