@@ -57,6 +57,12 @@ def main():
     unet = jax.tree.map(
         lambda s: jnp.full(s.shape, 0.01, dtype), unet_shapes
     )
+    if os.environ.get("MUDG_BENCH_INT8") == "1":
+        # measurement variant (not the headline metric): int8 W8A8 UNet
+        from mudg_tpu import quant
+
+        unet = quant.quantize_pytree(unet)
+        log("int8-quantized UNet (MUDG_BENCH_INT8=1)")
     vae_shapes = jax.eval_shape(lambda k: V.init_vae(k, vcfg), rng)
     vae = jax.tree.map(lambda s: jnp.full(s.shape, 0.01, jnp.float32), vae_shapes)
     log("params ready")

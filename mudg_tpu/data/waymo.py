@@ -212,19 +212,28 @@ def write_items(path: str, items: list[dict]):
 
 
 class BatchLoader:
-    """Simple prefetching batch loader: collates numpy items into batches
-    shaped for the train step ((accum, B, ...) when accum > 1)."""
+    """Host-side batch loader with background prefetch.
+
+    Collates numpy items into batches shaped for the train step ((accum, B,
+    ...) when accum > 1). With prefetch > 0 (default 2), item loading + jpeg
+    decode run in a daemon thread feeding a bounded queue, so host IO
+    overlaps device compute — the analog of the reference's
+    num_workers dataloaders (config.yaml:129; SURVEY §7.3 host/device
+    split). cv2/file IO release the GIL, so one thread suffices on the
+    1-core hosts these jobs run on; exceptions re-raise at the consumer."""
 
     def __init__(self, dataset: WaymoDataset, batch_size: int, accum_steps: int = 1,
-                 tokenizer=None, shuffle: bool = True, seed: int = 0):
+                 tokenizer=None, shuffle: bool = True, seed: int = 0,
+                 prefetch: int = 2):
         self.ds = dataset
         self.batch_size = batch_size
         self.accum = accum_steps
         self.tokenizer = tokenizer
         self.shuffle = shuffle
+        self.prefetch = prefetch
         self._rng = np.random.default_rng(seed)
 
-    def __iter__(self):
+    def _batches(self):
         order = np.arange(len(self.ds))
         if self.shuffle:
             self._rng.shuffle(order)
@@ -239,6 +248,48 @@ class BatchLoader:
                     for k, v in batch.items()
                 }
             yield batch
+
+    def __iter__(self):
+        if self.prefetch <= 0:
+            yield from self._batches()
+            return
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        _END = object()
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
+        def worker():
+            try:
+                for batch in self._batches():
+                    if not put(batch):
+                        return
+                put(_END)
+            except BaseException as e:  # propagate to the consumer
+                put(e)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()  # unblock the worker if iteration was abandoned
 
     def collate(self, items: list[dict]) -> dict:
         out = {

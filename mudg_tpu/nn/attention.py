@@ -285,10 +285,11 @@ def feed_forward(p, x, impl="auto"):
     Training uses it only when the TRUE backward kernel fits
     (kernels/mlp._ff_bwd_apply); otherwise the custom_vjp would replay XLA
     math, which under remat costs an extra forward per FF in backward."""
-    w1 = p["net"]["0"]["proj"]["weight"]
-    w2 = p["net"]["2"]["weight"]
+    w1 = p["net"]["0"]["proj"].get("weight")
+    w2 = p["net"]["2"].get("weight")
     if (
-        impl != "xla"
+        w1 is not None  # int8-quantized FFs take the XLA path (quant.py)
+        and impl != "xla"
         and os.environ.get("MUDG_FUSED_FF", "1") == "1"
         and jax.default_backend() == "tpu"
     ):
@@ -329,6 +330,7 @@ def feed_forward_block(p_ff, p_norm, x, impl="auto"):
     unfused composition."""
     if (
         impl != "xla"
+        and "weight" in p_ff["net"]["0"]["proj"]  # not int8-quantized
         and os.environ.get("MUDG_FUSED_FF", "1") == "1"
         and jax.default_backend() == "tpu"
         # measured (v5e, chained harness): the LN+res fusion wins only at
@@ -369,6 +371,9 @@ def basic_transformer_block(
         and impl == "auto"
         and "relative_position_k" not in p["attn1"]
         and all("bias" not in p["attn1"][k] for k in ("to_q", "to_k", "to_v"))
+        # int8-quantized projections take the XLA path (quant.py)
+        and "weight" in p["attn1"]["to_q"]
+        and "weight" in p["attn1"]["to_out"]["0"]
         # kernel assumes square full-width projections (inner == C)
         and p["attn1"]["to_q"]["weight"].shape == (c, c)
         and p["attn1"]["to_out"]["0"]["weight"].shape == (c, c)
@@ -414,12 +419,11 @@ def basic_transformer_block(
 def _proj(p, x):
     """proj_in/proj_out that is either Linear or a 1x1 Conv1d/Conv2d in the
     checkpoint (attention.py:421-424,489-493); a k=1 conv is a linear."""
-    w = p["weight"]
+    wk = "weight_i8" if "weight_i8" in p else "weight"
+    w = p[wk]
     if w.ndim == 2:
         return F.linear(p, x)
-    q = {"weight": w.reshape(w.shape[-2], w.shape[-1])}
-    if "bias" in p:
-        q["bias"] = p["bias"]
+    q = dict(p, **{wk: w.reshape(w.shape[-2], w.shape[-1])})
     return F.linear(q, x)
 
 
@@ -481,6 +485,7 @@ def temporal_transformer(
             # so forward and custom-vjp backward stay the same function
             and all(
                 "relative_position_k" not in pb[a]
+                and "weight" in pb[a]["to_q"]  # not int8-quantized
                 and "bias" not in pb[a]["to_q"]
                 and "bias" not in pb[a]["to_k"]
                 and "bias" not in pb[a]["to_v"]

@@ -32,7 +32,17 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _quant():
+    # deferred import: quant.py is only needed when a pytree holds
+    # 'weight_i8' leaves (see quant.quantize_pytree)
+    from .. import quant as _q
+
+    return _q
+
+
 def linear(p, x):
+    if "weight_i8" in p:
+        return _quant().linear_i8(p, x)
     w = p["weight"].astype(x.dtype)
     y = x @ w
     if "bias" in p and p["bias"] is not None:
@@ -45,6 +55,11 @@ def conv2d(p, x, stride: int | tuple = 1, padding="SAME", groups: int = 1):
     (weight layout (kh, kw, C/groups, O), the natural transpose of torch's)."""
     if isinstance(stride, int):
         stride = (stride, stride)
+    if "weight_i8" in p:
+        return _quant().conv_i8(
+            p, x, stride=stride, padding=padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), groups=groups,
+        )
     y = jax.lax.conv_general_dilated(
         x,
         p["weight"].astype(x.dtype),
@@ -68,6 +83,11 @@ def batch_norm(p, x, eps: float = 1e-5):
 
 def conv1d(p, x, stride: int = 1, padding="SAME"):
     """x: (N, L, C) -> (N, L', O)."""
+    if "weight_i8" in p:
+        return _quant().conv_i8(
+            p, x, stride=(stride,), padding=padding,
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        )
     y = jax.lax.conv_general_dilated(
         x,
         p["weight"].astype(x.dtype),
@@ -103,14 +123,18 @@ def temporal_conv311(p, x):
 
 def conv3d(p, x, stride=1, padding="SAME"):
     """x: (N, T, H, W, C) -> (N, T', H', W', O)."""
-    if (
-        p["weight"].shape[:3] == (3, 1, 1)
-        and stride in (1, (1, 1, 1))
-        and padding == "SAME"
-    ):
+    w = p["weight_i8"] if "weight_i8" in p else p["weight"]
+    if w.shape[:3] == (3, 1, 1) and stride in (1, (1, 1, 1)) and padding == "SAME":
+        if "weight_i8" in p:
+            return _quant().temporal_conv311_i8(p, x)
         return temporal_conv311(p, x)
     if isinstance(stride, int):
         stride = (stride, stride, stride)
+    if "weight_i8" in p:
+        return _quant().conv_i8(
+            p, x, stride=stride, padding=padding,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
     y = jax.lax.conv_general_dilated(
         x,
         p["weight"].astype(x.dtype),

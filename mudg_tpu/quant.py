@@ -1,0 +1,186 @@
+"""Post-training int8 quantization for inference (serving path).
+
+TPU-native rationale: v5e's MXU runs int8 at 2x the bf16 rate (394 vs 197
+TOP/s) and int8 halves HBM traffic — the MDM UNet's ds1 matmuls are
+bandwidth-bound (60% MFU, docs/STATE.md), so quantization attacks exactly the
+residual cost families. The reference has no quantization path (it inferences
+under fp16 autocast, virtual_pose_render.py:218); this is a net-new serving
+capability.
+
+Scheme (standard W8A8 dynamic):
+  * weights: symmetric per-output-channel int8, absmax calibration
+    (no data needed); stored as {'weight_i8': int8, 'scale': f32 (out,)}
+    in place of {'weight': ...}. 'bias' rides along unchanged.
+  * activations: dynamic symmetric quantization at matmul time — per-row
+    absmax for linears (each output element consumes exactly one row), and
+    per-tensor absmax for convs (an output pixel mixes several input rows,
+    so row scales would be incorrect).
+  * accumulation in int32 on the MXU (lax.dot_general / lax.conv with
+    preferred_element_type=int32), dequantized to the input dtype.
+
+Norm layers, embedding tables, and the fp32 algebra islands stay untouched;
+`quantize_pytree` only converts conv/linear 'weight' leaves above a size
+threshold. The fused bf16 Pallas kernels (kernels/{mlp,spatial_attn,
+temporal_attn}.py) gate on the presence of a plain 'weight' leaf and fall
+back to the XLA path automatically for quantized layers; the flash-attention
+kernel operates on activations only and still applies.
+
+Usage:
+    qparams = quant.quantize_pytree(unet_params)
+    y = unet_apply(qparams, cfg, ...)   # same call, int8 matmuls inside
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# Leaves smaller than this stay in the original dtype: the quant/dequant
+# overhead outweighs any traffic win, and tiny layers (time-embed MLPs,
+# norms) are also the most precision-sensitive.
+MIN_QUANT_SIZE = 65536
+
+
+def quantize_weight(w, axis=-1):
+    """Symmetric per-output-channel int8 quantization of a weight array.
+
+    `axis` is the output-channel axis (kept per-channel; all other axes share
+    a scale). Returns (w_i8, scale) with w ~= w_i8 * scale (broadcast on
+    `axis`)."""
+    wf = jnp.asarray(w, jnp.float32)
+    reduce_axes = tuple(i for i in range(wf.ndim) if i != axis % wf.ndim)
+    amax = jnp.max(jnp.abs(wf), axis=reduce_axes, keepdims=True)
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    w_i8 = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+    return w_i8, scale.reshape((wf.shape[axis % wf.ndim],))
+
+
+def _is_quantizable_leaf_dict(p) -> bool:
+    if not isinstance(p, dict) or "weight" not in p:
+        return False
+    w = p["weight"]
+    if not hasattr(w, "ndim") or w.ndim < 2:  # norms/embeddings are 1-D
+        return False
+    # exclude embedding-table-like dicts (no conv/linear semantics)
+    return set(p.keys()) <= {"weight", "bias"}
+
+
+def quantize_pytree(params, *, min_size: int | None = None):
+    """Walk a torch-layout parameter pytree and quantize every conv/linear
+    'weight' leaf (ndim >= 2, size >= min_size) to int8 + per-out-channel
+    scale. Returns a new pytree; unquantized leaves are shared, not copied.
+
+    Output-channel axis is -1 for every layout in this codebase
+    (Linear (in, out), ConvNd (*k, in, out) — nn/functional.py:7-12)."""
+    threshold = MIN_QUANT_SIZE if min_size is None else min_size
+
+    def walk(p):
+        if isinstance(p, dict):
+            if _is_quantizable_leaf_dict(p) and p["weight"].size >= threshold:
+                w_i8, scale = quantize_weight(p["weight"])
+                q = {"weight_i8": w_i8, "scale": scale}
+                if "bias" in p and p["bias"] is not None:
+                    q["bias"] = p["bias"]
+                return q
+            return {k: walk(v) for k, v in p.items()}
+        return p
+
+    return walk(params)
+
+
+def is_quantized(p) -> bool:
+    return isinstance(p, dict) and "weight_i8" in p
+
+
+def size_report(params) -> dict:
+    """Bytes by dtype class — for logging the compression ratio."""
+    int8 = fp = 0
+    for leaf in jax.tree.leaves(params):
+        nbytes = leaf.size * leaf.dtype.itemsize
+        if leaf.dtype == jnp.int8:
+            int8 += nbytes
+        else:
+            fp += nbytes
+    return {"int8_bytes": int(int8), "other_bytes": int(fp)}
+
+
+# ---------------------------------------------------------------------------
+# Quantized forwards (dispatched from nn/functional.py)
+# ---------------------------------------------------------------------------
+
+def _dyn_quant_rows(x):
+    """Per-row (last-axis) symmetric dynamic quantization.
+
+    Returns (x_i8, x_scale) with x ~= x_i8 * x_scale; x_scale keeps the
+    reduced axis as size-1 for broadcasting against the output."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    x_i8 = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return x_i8, scale
+
+
+def _dyn_quant_tensor(x):
+    """Per-tensor symmetric dynamic quantization (for convolutions)."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf))
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    x_i8 = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return x_i8, scale
+
+
+def linear_i8(p, x):
+    """int8 W8A8 linear: y = (q(x) @ w_i8) * (x_scale * w_scale) + b."""
+    x_i8, x_scale = _dyn_quant_rows(x)
+    acc = jax.lax.dot_general(
+        x_i8, p["weight_i8"], (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * (x_scale * p["scale"])
+    if "bias" in p and p["bias"] is not None:
+        y = y + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def conv_i8(p, x, *, stride, padding, dimension_numbers, groups: int = 1):
+    """int8 W8A8 convolution with per-tensor activation scale."""
+    x_i8, x_scale = _dyn_quant_tensor(x)
+    acc = jax.lax.conv_general_dilated(
+        x_i8, p["weight_i8"],
+        window_strides=stride,
+        padding=padding,
+        dimension_numbers=dimension_numbers,
+        feature_group_count=groups,
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * (x_scale * p["scale"])
+    if "bias" in p and p["bias"] is not None:
+        y = y + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def temporal_conv311_i8(p, x):
+    """(3,1,1) temporal conv as three shifted int8 matmuls (the same
+    layout-avoidance trick as functional.temporal_conv311, quantized).
+    Activation scales are per-row, exact for each tap's matmul."""
+    w = p["weight_i8"]
+    assert w.shape[:3] == (3, 1, 1), w.shape
+    x_i8, x_scale = _dyn_quant_rows(x)
+
+    def tap(xi, wi):
+        acc = jax.lax.dot_general(
+            xi, wi, (((xi.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return acc.astype(jnp.float32)
+
+    s = x_scale * p["scale"]  # (..., 1) * (out,) -> (..., out)
+    y = tap(x_i8, w[1, 0, 0]) * s
+    pad_t = ((0, 0), (1, 0), (0, 0), (0, 0), (0, 0))
+    y = y + jnp.pad(tap(x_i8[:, :-1], w[0, 0, 0]) * s[:, :-1], pad_t)
+    y = y + jnp.pad(
+        tap(x_i8[:, 1:], w[2, 0, 0]) * s[:, 1:],
+        ((0, 0), (0, 1), (0, 0), (0, 0), (0, 0)),
+    )
+    if "bias" in p and p["bias"] is not None:
+        y = y + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)

@@ -87,6 +87,42 @@ def test_dataset_loading_and_batching(scene, tmp_path):
     assert b2["dense_frames"].shape == (2, 1, 4, 32, 64, 3)
 
 
+def test_batchloader_prefetch_equivalence(scene, tmp_path):
+    """Background-prefetch iteration yields byte-identical batches in the
+    same order as the synchronous path (shuffle included, same seed)."""
+    from mudg_tpu.apps.make_conditions import render_scene_conditions
+
+    render_scene_conditions(scene, ("camera_FRONT",))
+    cam = "camera_FRONT"
+    item = {
+        "scene": scene,
+        "frames": [f"{i:08d}.jpg" for i in range(4)],
+        "dense_color_base": os.path.join(scene, "images", cam),
+        "sparse_color_base": os.path.join(scene, "sparse", cam),
+        "dense_semantic_base": os.path.join(scene, "semantic_dense", cam),
+        "dense_depth_base": os.path.join(scene, "six_frames_depth", cam),
+        "sparse_depth_base": os.path.join(scene, "depth", cam),
+    }
+    items_path = str(tmp_path / "items.txt")
+    W.write_items(items_path, [item] * 6)
+    def fresh_ds():  # task sampling draws from a per-dataset RNG sequence
+        return W.WaymoDataset(items_path, video_length=4, resolution=(32, 64),
+                              seed=11)
+
+    sync = list(W.BatchLoader(fresh_ds(), batch_size=2, seed=3, prefetch=0))
+    pre = list(W.BatchLoader(fresh_ds(), batch_size=2, seed=3, prefetch=2))
+    assert len(sync) == len(pre) == 3
+    for bs, bp in zip(sync, pre):
+        assert bs.keys() == bp.keys()
+        for k in bs:
+            np.testing.assert_array_equal(bs[k], bp[k])
+
+    # abandoning iteration mid-stream must not deadlock or leak errors
+    it = iter(W.BatchLoader(fresh_ds(), batch_size=2, prefetch=1))
+    next(it)
+    it.close()
+
+
 def test_inference_conditions(scene):
     cam = "camera_FRONT"
     sample = {

@@ -1,0 +1,201 @@
+"""int8 post-training quantization (mudg_tpu/quant.py).
+
+Validates the W8A8 scheme numerically on CPU: per-channel weight roundtrip,
+quantized linear/conv/temporal-conv against their fp32 counterparts, and the
+whole-UNet quantized forward staying close to the bf16/f32 forward (the
+serving-path quality bound)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mudg_tpu import quant
+from mudg_tpu.nn import functional as F
+from mudg_tpu.nn import unet3d as U
+
+
+def snr_db(ref, y):
+    ref = np.asarray(ref, np.float64)
+    y = np.asarray(y, np.float64)
+    err = np.mean((ref - y) ** 2)
+    sig = np.mean(ref**2) + 1e-30
+    return 10 * np.log10(sig / max(err, 1e-30))
+
+
+def test_quantize_weight_roundtrip():
+    rng = np.random.default_rng(0)
+    w = rng.normal(0, 0.05, (64, 48)).astype(np.float32)
+    # one column with a very different magnitude: per-channel scales must adapt
+    w[:, 7] *= 40.0
+    w_i8, scale = quant.quantize_weight(jnp.asarray(w))
+    assert w_i8.dtype == jnp.int8 and scale.shape == (48,)
+    wd = np.asarray(w_i8, np.float32) * np.asarray(scale)
+    # max error is half an int8 step per channel
+    step = np.asarray(scale)
+    assert np.all(np.abs(wd - w) <= 0.5 * step + 1e-8)
+    assert snr_db(w, wd) > 40
+
+
+def test_linear_i8_matches_fp32():
+    rng = np.random.default_rng(1)
+    w = rng.normal(0, 0.05, (96, 64)).astype(np.float32)
+    b = rng.normal(0, 0.1, (64,)).astype(np.float32)
+    x = rng.normal(0, 1.0, (5, 7, 96)).astype(np.float32)
+    p = {"weight": jnp.asarray(w), "bias": jnp.asarray(b)}
+    q = quant.quantize_pytree(p, min_size=0)
+    assert "weight_i8" in q and q["weight_i8"].shape == (96, 64)
+    y_ref = F.linear(p, jnp.asarray(x))
+    y_q = F.linear(q, jnp.asarray(x))  # dispatches to linear_i8
+    assert y_q.dtype == y_ref.dtype
+    assert snr_db(y_ref, y_q) > 35
+
+
+def test_conv2d_i8_matches_fp32():
+    rng = np.random.default_rng(2)
+    w = rng.normal(0, 0.05, (3, 3, 16, 24)).astype(np.float32)
+    b = rng.normal(0, 0.1, (24,)).astype(np.float32)
+    x = rng.normal(0, 1.0, (2, 9, 11, 16)).astype(np.float32)
+    p = {"weight": jnp.asarray(w), "bias": jnp.asarray(b)}
+    q = quant.quantize_pytree(p, min_size=0)
+    y_ref = F.conv2d(p, jnp.asarray(x))
+    y_q = F.conv2d(q, jnp.asarray(x))
+    assert y_q.shape == y_ref.shape
+    assert snr_db(y_ref, y_q) > 30
+
+
+def test_conv2d_i8_strided_padded():
+    rng = np.random.default_rng(3)
+    w = rng.normal(0, 0.05, (3, 3, 8, 8)).astype(np.float32)
+    x = rng.normal(0, 1.0, (2, 8, 8, 8)).astype(np.float32)
+    p = {"weight": jnp.asarray(w)}
+    q = quant.quantize_pytree(p, min_size=0)
+    y_ref = F.conv2d(p, jnp.asarray(x), stride=2, padding=((1, 1), (1, 1)))
+    y_q = F.conv2d(q, jnp.asarray(x), stride=2, padding=((1, 1), (1, 1)))
+    assert y_q.shape == y_ref.shape
+    assert snr_db(y_ref, y_q) > 30
+
+
+def test_temporal_conv311_i8_matches_fp32():
+    rng = np.random.default_rng(4)
+    w = rng.normal(0, 0.05, (3, 1, 1, 16, 16)).astype(np.float32)
+    b = rng.normal(0, 0.02, (16,)).astype(np.float32)
+    x = rng.normal(0, 1.0, (2, 5, 4, 6, 16)).astype(np.float32)
+    p = {"weight": jnp.asarray(w), "bias": jnp.asarray(b)}
+    q = quant.quantize_pytree(p, min_size=0)
+    y_ref = F.conv3d(p, jnp.asarray(x))  # shifted-matmul path
+    y_q = F.conv3d(q, jnp.asarray(x))    # temporal_conv311_i8
+    assert y_q.shape == y_ref.shape
+    assert snr_db(y_ref, y_q) > 30
+
+
+def test_quantize_pytree_selectivity():
+    """Norms/embeddings/small leaves stay fp; conv/linear weights convert."""
+    rng = jax.random.PRNGKey(0)
+    p = {
+        "lin": F.init_linear(rng, 64, 64),
+        "norm": F.init_norm(64),
+        "small": F.init_linear(rng, 4, 4),
+        "rel": {"embeddings_table": jnp.zeros((33, 64))},
+    }
+    q = quant.quantize_pytree(p, min_size=1024)
+    assert "weight_i8" in q["lin"] and "weight" not in q["lin"]
+    assert "weight" in q["norm"]          # 1-D, never quantized
+    assert "weight" in q["small"]          # under threshold
+    assert "embeddings_table" in q["rel"]  # untouched
+    rep = quant.size_report(q)
+    assert rep["int8_bytes"] == 64 * 64
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_unet_quantized_forward_close(dtype):
+    """Whole tiny-UNet forward: quantized output stays close to full-precision
+    (the end-to-end serving quality bound; per-layer SNR compounds)."""
+    cfg = U.UNetConfig(
+        in_channels=12, out_channels=4, model_channels=32, num_res_blocks=1,
+        attention_resolutions=(1,), channel_mult=(1, 2), num_head_channels=16,
+        context_dim=16, temporal_length=4, image_tokens_per_frame=16,
+        dropout=0.0,
+    )
+    rng = jax.random.PRNGKey(0)
+    params = U.init_unet(rng, cfg)
+    # re-randomize every leaf: init_unet zero-inits the final conv (and other
+    # proj_out leaves), which would make the forward identically zero and the
+    # comparison vacuous
+    leaves, treedef = jax.tree.flatten(params)
+    keys = jax.random.split(rng, len(leaves))
+    params = jax.tree.unflatten(
+        treedef,
+        [jax.random.normal(k, l.shape, jnp.float32) * 0.05
+         for k, l in zip(keys, leaves)],
+    )
+    qparams = quant.quantize_pytree(params, min_size=0)
+
+    b, t, hw = 1, 4, 8
+    x = jax.random.normal(rng, (b, t, hw, hw, 12), dtype)
+    ctx = jax.random.normal(rng, (b, 77 + t * 16, 16), dtype) * 0.3
+    lbl = jnp.zeros((b,), jnp.int32)
+
+    y_ref = U.unet_apply(
+        jax.tree.map(lambda a: a.astype(dtype) if a.ndim >= 2 else a, params),
+        cfg, x, jnp.array([500]), ctx, c_label=lbl)
+    y_q = U.unet_apply(qparams, cfg, x, jnp.array([500]), ctx, c_label=lbl)
+    assert y_q.shape == y_ref.shape and y_q.dtype == y_ref.dtype
+    # bf16 reference itself has ~0.4% noise; int8 must stay in the same
+    # regime. 20 dB latent SNR ~= 1% relative error end-to-end.
+    assert snr_db(np.asarray(y_ref, np.float32), np.asarray(y_q, np.float32)) > (
+        20 if dtype == jnp.float32 else 15
+    )
+
+
+def test_sample_with_quantized_unet():
+    """End-to-end guided sampling with an int8 UNet (the render_infer
+    --quantize int8 path): runs, stays finite, and stays close to the
+    full-precision sample at identical seeds."""
+    from mudg_tpu.models import mdm as M
+    from tests.test_mdm import tiny_mdm_cfg
+
+    cfg = tiny_mdm_cfg()
+    params = M.init_mdm(jax.random.PRNGKey(0), cfg)
+    # randomize the UNet (init zero-inits proj_out/final conv leaves, which
+    # would make the denoiser output — and thus the comparison — degenerate)
+    leaves, treedef = jax.tree.flatten(params["unet"])
+    keys = jax.random.split(jax.random.PRNGKey(7), len(leaves))
+    params = dict(params, unet=jax.tree.unflatten(
+        treedef,
+        [jax.random.normal(k, l.shape, jnp.float32) * 0.05
+         for k, l in zip(keys, leaves)],
+    ))
+    qparams = dict(params, unet=quant.quantize_pytree(params["unet"], min_size=0))
+    B, T, H, W = 1, 4, 16, 16
+    rng = jax.random.PRNGKey(1)
+    kw = dict(
+        sparse_frames=jax.random.uniform(rng, (B, T, H, W, 3), minval=-1, maxval=1),
+        sparse_depth=jax.random.uniform(rng, (B, T, H, W, 3), minval=-1, maxval=1),
+        tokens=jnp.zeros((B, 77), jnp.int32),
+        null_tokens=jnp.zeros((77,), jnp.int32),
+        class_label=jnp.zeros((B,), jnp.int32),
+        num_steps=2, guidance_scale=7.5, guidance_rescale=0.7, impl="xla",
+    )
+    out_ref = M.sample(params, cfg, jax.random.PRNGKey(3), **kw)
+    out_q = M.sample(qparams, cfg, jax.random.PRNGKey(3), **kw)
+    assert out_q.shape == out_ref.shape
+    assert np.all(np.isfinite(np.asarray(out_q)))
+    # guided multi-step sampling amplifies per-layer noise; int8 must still
+    # track the full-precision trajectory closely in pixel space
+    assert snr_db(out_ref, out_q) > 12
+
+
+def test_quantized_tree_is_jit_argument_friendly():
+    """The quantized pytree must pass through jit boundaries (int8 leaves as
+    arguments, not baked constants)."""
+    rng = jax.random.PRNGKey(1)
+    p = F.init_linear(rng, 64, 32)
+    q = quant.quantize_pytree(p, min_size=0)
+    x = jax.random.normal(rng, (8, 64))
+
+    @jax.jit
+    def f(q, x):
+        return F.linear(q, x)
+
+    y = f(q, x)
+    assert y.shape == (8, 32)
