@@ -180,6 +180,12 @@ def _psnr_vs_torch_oracle(log, steps: int = 5):
     params = CK.state_dict_to_pytree(
         {k: v.numpy() for k, v in ref.state_dict().items()}
     )
+    if os.environ.get("MUDG_BENCH_INT8") == "1":
+        # quantize the oracle-comparison UNet too, so the reported PSNR is
+        # the int8 path's true quality vs the fp32 torch reference
+        from mudg_tpu import quant
+
+        params = quant.quantize_pytree(params, min_size=0)
 
     rng = np.random.default_rng(0)
     x = rng.normal(0, 1, (b, 4, t_len, hw, hw)).astype(np.float32)

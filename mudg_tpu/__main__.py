@@ -7,6 +7,7 @@ Commands map to the apps package:
   refine-gs    3DGS scene refinement                (apps.refine_gs)
   eval         PSNR/SSIM novel-view evaluation      (apps.eval_nvs)
   preprocess   Waymo tfrecord -> scene dirs ETL     (apps.preprocess)
+  segment      SegFormer semantic maps per frame    (apps.segment)
   densify      learned/classical depth densification (apps.densify_depth)
   bench        the repo benchmark                   (bench.py main)
 """
@@ -33,6 +34,8 @@ def main(argv=None):
         from .apps.eval_nvs import main as run
     elif cmd == "preprocess":
         from .apps.preprocess import main as run
+    elif cmd == "segment":
+        from .apps.segment import main as run
     elif cmd == "densify":
         from .apps.densify_depth import main as run
     elif cmd == "bench":
@@ -49,8 +52,8 @@ def main(argv=None):
     else:
         print(f"unknown command {cmd!r}\n{__doc__}")
         return 2
-    run(rest)
-    return 0
+    rc = run(rest)
+    return 0 if rc is None else rc
 
 
 if __name__ == "__main__":

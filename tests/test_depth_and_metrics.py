@@ -78,6 +78,37 @@ def test_segment_frames_with_stub_predictor(tmp_path, scene):
     assert os.path.exists(os.path.join(pal_root, cam, "00000000.jpg"))
 
 
+def test_segment_app_cli(tmp_path, scene, monkeypatch):
+    """apps/segment (pipeline_segment.py CLI equivalent): drives the
+    predictor over the scene cameras and writes pfm + palette outputs;
+    exits 1 when no weights resolve."""
+    from mudg_tpu.apps import segment as APP
+
+    def stub_loader(model_path=None):
+        return lambda img: (img[:, :, 0] > 128).astype(np.int64) * 7
+
+    import mudg_tpu.data.segmentation as SEGMOD
+
+    # the app does a call-time `from ..data.segmentation import ...`, so
+    # patching the source module attribute is sufficient
+    monkeypatch.setattr(SEGMOD, "load_segformer_predictor", stub_loader)
+
+    out_root = str(tmp_path / "sem")
+    # --no_palette: the session-scoped scene fixture's semantic_dense/ GT
+    # must not be overwritten for later tests
+    rc = APP.main(["--scene", scene, "--out", out_root, "--no_palette"])
+    assert rc == 0
+    ids, _ = SEG.read_pfm(
+        os.path.join(out_root, "camera_FRONT", "seg", "00000000.pfm"))
+    assert set(np.unique(ids)).issubset({0.0, 7.0})
+
+    # no weights -> clean failure exit code (not an exception)
+    monkeypatch.setattr(SEGMOD, "load_segformer_predictor",
+                        lambda model_path=None: None)
+    rc = APP.main(["--scene", scene, "--out", out_root, "--no_palette"])
+    assert rc == 1
+
+
 def test_psnr_and_ssim():
     a = np.zeros((16, 16, 3))
     assert MET.psnr(a, a) == float("inf")
