@@ -86,12 +86,13 @@ def main(argv=None):
                         "autocast inference (virtual_pose_render.py:218) and "
                         "is ~2x faster on TPU (fp32 norm/softmax islands "
                         "apply either way)")
-    p.add_argument("--quantize", default="none", choices=("none", "int8"),
+    p.add_argument("--quantize", default="none",
+                   choices=("none", "int8", "int8-weights"),
                    help="post-training quantization of the UNet for serving "
-                        "(quant.py: W8A8 dynamic — int8 per-out-channel "
-                        "weights + dynamic activation scales; halves HBM "
-                        "traffic and doubles MXU rate on TPU at a small "
-                        "quality cost)")
+                        "(quant.py). 'int8' = W8A8 dynamic (int8 weights + "
+                        "dynamic activation scales, int32 MXU dots); "
+                        "'int8-weights' = weight-only (int8 storage/HBM, "
+                        "bf16 compute — no activation-quantization error)")
     p.add_argument("--seq_parallel", action="store_true",
                    help="shard ONE clip's sampling over all devices "
                         "(parallel/sp.py: spatial layers frame-sharded, "
@@ -120,12 +121,14 @@ def main(argv=None):
 
         cfg = _dc.replace(cfg, base_scale=args.base_scale)
     params = load_params(args, cfg)
-    if args.quantize == "int8":
+    if args.quantize != "none":
         from .. import quant
 
-        params = dict(params, unet=quant.quantize_pytree(params["unet"]))
+        mode = "w8a8" if args.quantize == "int8" else "w8"
+        params = dict(params,
+                      unet=quant.quantize_pytree(params["unet"], mode=mode))
         rep = quant.size_report(params["unet"])
-        print(f"int8 UNet: {rep['int8_bytes']/2**20:.0f} MiB int8 + "
+        print(f"{mode} UNet: {rep['int8_bytes']/2**20:.0f} MiB int8 + "
               f"{rep['other_bytes']/2**20:.0f} MiB fp", flush=True)
     # real checkpoints demand the real BPE table (hash ids would index
     # meaningless rows of the learned text embedding)

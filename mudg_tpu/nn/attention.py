@@ -419,7 +419,7 @@ def basic_transformer_block(
 def _proj(p, x):
     """proj_in/proj_out that is either Linear or a 1x1 Conv1d/Conv2d in the
     checkpoint (attention.py:421-424,489-493); a k=1 conv is a linear."""
-    wk = "weight_i8" if "weight_i8" in p else "weight"
+    wk = next(k for k in ("weight_i8", "weight_q8", "weight") if k in p)
     w = p[wk]
     if w.ndim == 2:
         return F.linear(p, x)

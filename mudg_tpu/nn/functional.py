@@ -40,10 +40,18 @@ def _quant():
     return _q
 
 
+def _weight(p, dtype):
+    """Effective weight in `dtype`; transparently dequantizes weight-only
+    int8 leaves (quant.py mode='w8')."""
+    if "weight_q8" in p:
+        return _quant().dequantize_weight(p, dtype)
+    return p["weight"].astype(dtype)
+
+
 def linear(p, x):
     if "weight_i8" in p:
         return _quant().linear_i8(p, x)
-    w = p["weight"].astype(x.dtype)
+    w = _weight(p, x.dtype)
     y = x @ w
     if "bias" in p and p["bias"] is not None:
         y = y + p["bias"].astype(x.dtype)
@@ -62,7 +70,7 @@ def conv2d(p, x, stride: int | tuple = 1, padding="SAME", groups: int = 1):
         )
     y = jax.lax.conv_general_dilated(
         x,
-        p["weight"].astype(x.dtype),
+        _weight(p, x.dtype),
         window_strides=stride,
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -90,7 +98,7 @@ def conv1d(p, x, stride: int = 1, padding="SAME"):
         )
     y = jax.lax.conv_general_dilated(
         x,
-        p["weight"].astype(x.dtype),
+        _weight(p, x.dtype),
         window_strides=(stride,),
         padding=padding,
         dimension_numbers=("NWC", "WIO", "NWC"),
@@ -109,7 +117,7 @@ def temporal_conv311(p, x):
     a GN+SiLU+conv3d x4 chain runs 8.8 ms at ds1 vs 2.9 ms in this form,
     scripts/tconvbench.py). x: (N, T, H, W, C); weight (3, 1, 1, C_in, C_out).
     """
-    w = p["weight"].astype(x.dtype)
+    w = _weight(p, x.dtype)
     assert w.shape[:3] == (3, 1, 1), w.shape
     w0, w1, w2 = w[0, 0, 0], w[1, 0, 0], w[2, 0, 0]
     y = x @ w1
@@ -123,8 +131,8 @@ def temporal_conv311(p, x):
 
 def conv3d(p, x, stride=1, padding="SAME"):
     """x: (N, T, H, W, C) -> (N, T', H', W', O)."""
-    w = p["weight_i8"] if "weight_i8" in p else p["weight"]
-    if w.shape[:3] == (3, 1, 1) and stride in (1, (1, 1, 1)) and padding == "SAME":
+    wshape = next(p[k] for k in ("weight_i8", "weight_q8", "weight") if k in p).shape
+    if wshape[:3] == (3, 1, 1) and stride in (1, (1, 1, 1)) and padding == "SAME":
         if "weight_i8" in p:
             return _quant().temporal_conv311_i8(p, x)
         return temporal_conv311(p, x)
@@ -137,7 +145,7 @@ def conv3d(p, x, stride=1, padding="SAME"):
         )
     y = jax.lax.conv_general_dilated(
         x,
-        p["weight"].astype(x.dtype),
+        _weight(p, x.dtype),
         window_strides=stride,
         padding=padding,
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),

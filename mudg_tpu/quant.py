@@ -64,20 +64,30 @@ def _is_quantizable_leaf_dict(p) -> bool:
     return set(p.keys()) <= {"weight", "bias"}
 
 
-def quantize_pytree(params, *, min_size: int | None = None):
+def quantize_pytree(params, *, min_size: int | None = None, mode: str = "w8a8"):
     """Walk a torch-layout parameter pytree and quantize every conv/linear
     'weight' leaf (ndim >= 2, size >= min_size) to int8 + per-out-channel
     scale. Returns a new pytree; unquantized leaves are shared, not copied.
 
+    mode:
+      "w8a8" (default) — int8 weights AND dynamic int8 activations; int32
+          MXU dots (2x peak rate + half the activation traffic).
+      "w8"   — weight-only: int8 storage/HBM traffic, dequantized to the
+          activation dtype inside the matmul/conv (bf16 compute, no
+          activation-quantization error; halves the UNet's parameter
+          footprint — e.g. MDM1024 HBM relief — at unchanged MXU rate).
+
     Output-channel axis is -1 for every layout in this codebase
     (Linear (in, out), ConvNd (*k, in, out) — nn/functional.py:7-12)."""
     threshold = MIN_QUANT_SIZE if min_size is None else min_size
+    assert mode in ("w8a8", "w8"), mode
+    wkey = "weight_i8" if mode == "w8a8" else "weight_q8"
 
     def walk(p):
         if isinstance(p, dict):
             if _is_quantizable_leaf_dict(p) and p["weight"].size >= threshold:
                 w_i8, scale = quantize_weight(p["weight"])
-                q = {"weight_i8": w_i8, "scale": scale}
+                q = {wkey: w_i8, "scale": scale}
                 if "bias" in p and p["bias"] is not None:
                     q["bias"] = p["bias"]
                 return q
@@ -87,8 +97,14 @@ def quantize_pytree(params, *, min_size: int | None = None):
     return walk(params)
 
 
+def dequantize_weight(p, dtype):
+    """Weight-only leaf -> effective weight in `dtype` (XLA fuses the
+    int8 read + rescale into the consuming matmul/conv)."""
+    return p["weight_q8"].astype(dtype) * p["scale"].astype(dtype)
+
+
 def is_quantized(p) -> bool:
-    return isinstance(p, dict) and "weight_i8" in p
+    return isinstance(p, dict) and ("weight_i8" in p or "weight_q8" in p)
 
 
 def size_report(params) -> dict:

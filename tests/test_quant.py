@@ -36,18 +36,37 @@ def test_quantize_weight_roundtrip():
     assert snr_db(w, wd) > 40
 
 
-def test_linear_i8_matches_fp32():
+@pytest.mark.parametrize("mode,key,bound", [
+    ("w8a8", "weight_i8", 35),
+    ("w8", "weight_q8", 40),  # weight-only: no activation-quant error
+])
+def test_linear_quantized_matches_fp32(mode, key, bound):
     rng = np.random.default_rng(1)
     w = rng.normal(0, 0.05, (96, 64)).astype(np.float32)
     b = rng.normal(0, 0.1, (64,)).astype(np.float32)
     x = rng.normal(0, 1.0, (5, 7, 96)).astype(np.float32)
     p = {"weight": jnp.asarray(w), "bias": jnp.asarray(b)}
-    q = quant.quantize_pytree(p, min_size=0)
-    assert "weight_i8" in q and q["weight_i8"].shape == (96, 64)
+    q = quant.quantize_pytree(p, min_size=0, mode=mode)
+    assert key in q and q[key].shape == (96, 64) and "weight" not in q
     y_ref = F.linear(p, jnp.asarray(x))
-    y_q = F.linear(q, jnp.asarray(x))  # dispatches to linear_i8
+    y_q = F.linear(q, jnp.asarray(x))
     assert y_q.dtype == y_ref.dtype
-    assert snr_db(y_ref, y_q) > 35
+    assert snr_db(y_ref, y_q) > bound
+
+
+def test_w8_conv_and_temporal_conv():
+    rng = np.random.default_rng(9)
+    w = rng.normal(0, 0.05, (3, 3, 16, 24)).astype(np.float32)
+    x = rng.normal(0, 1.0, (2, 9, 11, 16)).astype(np.float32)
+    p = {"weight": jnp.asarray(w)}
+    q = quant.quantize_pytree(p, min_size=0, mode="w8")
+    assert snr_db(F.conv2d(p, jnp.asarray(x)), F.conv2d(q, jnp.asarray(x))) > 38
+
+    wt = rng.normal(0, 0.05, (3, 1, 1, 16, 16)).astype(np.float32)
+    xv = rng.normal(0, 1.0, (2, 5, 4, 6, 16)).astype(np.float32)
+    pt = {"weight": jnp.asarray(wt)}
+    qt = quant.quantize_pytree(pt, min_size=0, mode="w8")
+    assert snr_db(F.conv3d(pt, jnp.asarray(xv)), F.conv3d(qt, jnp.asarray(xv))) > 38
 
 
 def test_conv2d_i8_matches_fp32():
