@@ -181,8 +181,11 @@ def _psnr_vs_torch_oracle(log, steps: int = 5):
         {k: v.numpy() for k, v in ref.state_dict().items()}
     )
     if os.environ.get("MUDG_BENCH_INT8") == "1":
-        # quantize the oracle-comparison UNet too, so the reported PSNR is
-        # the int8 path's true quality vs the fp32 torch reference
+        # quantize the oracle-comparison UNet too. min_size=0 because the
+        # tiny oracle's leaves are all below the serving threshold — this
+        # also quantizes the small precision-sensitive layers the serving
+        # path keeps fp, so the reported PSNR is a LOWER BOUND on the
+        # serving path's int8 quality, not its exact number.
         from mudg_tpu import quant
 
         params = quant.quantize_pytree(params, min_size=0)

@@ -3,6 +3,7 @@
 Commands map to the apps package:
   train        MDM stage-1/2 fine-tuning           (apps.train_mdm)
   render       multi-modal autoregressive inference (apps.render_infer)
+  serve        warm-model request-spool daemon      (apps.serve)
   conditions   offline sparse RGB/depth generation  (apps.make_conditions)
   refine-gs    3DGS scene refinement                (apps.refine_gs)
   eval         PSNR/SSIM novel-view evaluation      (apps.eval_nvs)
@@ -26,6 +27,8 @@ def main(argv=None):
         from .apps.train_mdm import main as run
     elif cmd == "render":
         from .apps.render_infer import main as run
+    elif cmd == "serve":
+        from .apps.serve import main as run
     elif cmd == "conditions":
         from .apps.make_conditions import main as run
     elif cmd == "refine-gs":
@@ -53,7 +56,9 @@ def main(argv=None):
         print(f"unknown command {cmd!r}\n{__doc__}")
         return 2
     rc = run(rest)
-    return 0 if rc is None else rc
+    # apps return int exit codes, None, or a result object (e.g. eval's
+    # summary dict) — only a real int is an exit status
+    return rc if isinstance(rc, int) else 0
 
 
 if __name__ == "__main__":

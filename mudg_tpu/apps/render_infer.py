@@ -151,6 +151,35 @@ def main(argv=None):
         sp = SP.make_seq_sharding(PM.make_mesh(axis_names=("seq",)))
         impl = "xla"
 
+    sample_fn = build_sampler(
+        cfg, steps=args.steps, cfg_scale=args.cfg_scale, cfg_img=args.cfg_img,
+        multiple_cond_cfg=args.multiple_cond_cfg,
+        guidance_rescale=args.guidance_rescale, eta=args.eta,
+        timestep_spacing=args.timestep_spacing, fps=args.fps,
+        dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32,
+        impl=impl, sp=sp,
+    )
+    render_items(
+        params, sample_fn, items, args.out,
+        tokens=tokens, null_tokens=null_tokens, video_length=vl,
+        resolution=resolution, task_serial=args.task_serial, fps=args.fps,
+        max_windows=args.max_windows, seed=args.seed,
+    )
+
+
+def build_sampler(cfg, *, steps, cfg_scale=7.5, cfg_img=None,
+                  multiple_cond_cfg=False, guidance_rescale=0.7, eta=1.0,
+                  timestep_spacing="uniform_trailing", fps=10, dtype=None,
+                  impl="auto", sp=None):
+    """One jitted 3-task guided sampler; reused across windows AND requests
+    (apps/serve.py keeps it warm — recompiles only if `steps`/shapes change)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import mdm as M
+
+    dtype = jnp.bfloat16 if dtype is None else dtype
+
     # params/tokens go through jit as ARGUMENTS (captured closures would be
     # baked into the executable as constants -> multi-GB, slow compiles)
     @jax.jit
@@ -160,16 +189,32 @@ def main(argv=None):
             params, cfg, key,
             sparse_frames=sparse_frames, sparse_depth=sparse_depth,
             tokens=tokens, null_tokens=null_tokens, class_label=class_label,
-            num_steps=args.steps, guidance_scale=args.cfg_scale,
-            cfg_img=args.cfg_img, multiple_cond_cfg=args.multiple_cond_cfg,
-            guidance_rescale=args.guidance_rescale, eta=args.eta,
-            timestep_spacing=args.timestep_spacing, fs=args.fps,
-            dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32,
-            impl=impl, sp=sp,
+            num_steps=steps, guidance_scale=cfg_scale,
+            cfg_img=cfg_img, multiple_cond_cfg=multiple_cond_cfg,
+            guidance_rescale=guidance_rescale, eta=eta,
+            timestep_spacing=timestep_spacing, fs=fps,
+            dtype=dtype, impl=impl, sp=sp,
         )
 
-    rng = jax.random.PRNGKey(args.seed)
-    os.makedirs(args.out, exist_ok=True)
+    return sample_fn
+
+
+def render_items(params, sample_fn, items, out_dir, *, tokens, null_tokens,
+                 video_length, resolution, task_serial=False, fps=10,
+                 max_windows=None, seed=123):
+    """The autoregressive 3-task window loop (virtual_pose_render.py:150-368)
+    over one item list; writes per-task frames + compare videos under
+    out_dir. Returns {'windows': N, 'seconds': dt}."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..data import conditions as DC
+    from ..utils import media
+
+    vl = video_length
+    n_items = len(items)
+    rng = jax.random.PRNGKey(seed)
+    os.makedirs(out_dir, exist_ok=True)
     compare = {t: [] for t in TASKS}
 
     index = 0
@@ -194,7 +239,7 @@ def main(argv=None):
         )
 
         rng, key = jax.random.split(rng)
-        if args.task_serial:
+        if task_serial:
             # memory-saving mode: one UNet batch per task (the 3-task batch
             # at full 320x512 exceeds a single 16G chip's HBM; batching is
             # the default on pods where it rides the batch sharding)
@@ -216,7 +261,7 @@ def main(argv=None):
         for ti, task in enumerate(TASKS):
             video = out[ti]
             dense = task_data[task]["dense_frames"]
-            tdir = os.path.join(args.out, f"virtual_{task}")
+            tdir = os.path.join(out_dir, f"virtual_{task}")
             os.makedirs(tdir, exist_ok=True)
             for fi in range(vl):
                 gi = index + fi
@@ -238,19 +283,20 @@ def main(argv=None):
         carry_color = out[0, vl // 2 :].copy()
         index += vl // 2
         n_windows += 1
-        if args.max_windows and n_windows >= args.max_windows:
+        if max_windows and n_windows >= max_windows:
             break
         print(f"window {n_windows}: frames {index - vl // 2}..{index}")
 
     for task in TASKS:
         if compare[task]:
             media.save_video(
-                os.path.join(args.out, f"compare_{task}.mp4"),
-                np.stack(compare[task]), fps=args.fps,
+                os.path.join(out_dir, f"compare_{task}.mp4"),
+                np.stack(compare[task]), fps=fps,
             )
     dt = time.time() - t_start
     print(f"done: {n_windows} windows in {dt:.1f}s "
           f"({dt / max(n_windows, 1):.1f}s/window)")
+    return {"windows": n_windows, "seconds": dt}
 
 
 if __name__ == "__main__":

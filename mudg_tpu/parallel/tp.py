@@ -31,7 +31,14 @@ _ROW_PARENTS = ("to_out", "2")  # to_out.0 and ff net '2'
 
 def _spec_for_path(path, leaf, axis: str, n_model: int) -> P:
     names = [str(getattr(k, "key", k)) for k in path]
-    if not names or names[-1] != "weight" or leaf.ndim != 2:
+    # int8-quantized leaves (quant.py: weight_i8/weight_q8) shard exactly
+    # like their fp originals; the (out,) scales stay replicated like biases
+    # (the SPMD partitioner slices replicated operands of sharded ops).
+    if (
+        not names
+        or names[-1] not in ("weight", "weight_i8", "weight_q8")
+        or leaf.ndim != 2
+    ):
         return P()
     parent = names[-2] if len(names) >= 2 else ""
     gparent = names[-3] if len(names) >= 3 else ""

@@ -103,10 +103,6 @@ def dequantize_weight(p, dtype):
     return p["weight_q8"].astype(dtype) * p["scale"].astype(dtype)
 
 
-def is_quantized(p) -> bool:
-    return isinstance(p, dict) and ("weight_i8" in p or "weight_q8" in p)
-
-
 def size_report(params) -> dict:
     """Bytes by dtype class — for logging the compression ratio."""
     int8 = fp = 0

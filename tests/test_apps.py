@@ -87,6 +87,60 @@ def test_render_infer_seq_parallel(scene, tmp_path):
             os.path.join(out_dir, f"virtual_{task}", f"{task}_re_0.png"))
 
 
+def test_serve_spool_daemon(scene, tmp_path):
+    """apps/serve: two spooled requests processed by ONE warm sampler —
+    outputs written per request, .done markers with metrics, a malformed
+    request gets a .err marker, daemon exits via --max_requests."""
+    import json
+    import time
+
+    from mudg_tpu.apps.make_conditions import render_scene_conditions
+    from mudg_tpu.data.waymo import write_items
+    from mudg_tpu.apps import serve
+
+    render_scene_conditions(scene, ("camera_FRONT",))
+    cam = "camera_FRONT"
+    item = {
+        "frames": [f"{i:08d}.jpg" for i in range(4)],
+        "dense_color_base": os.path.join(scene, "images", cam),
+        "sparse_color_base": os.path.join(scene, "sparse", cam),
+        "dense_semantic_base": os.path.join(scene, "semantic_dense", cam),
+        "dense_depth_base": os.path.join(scene, "six_frames_depth", cam),
+        "sparse_depth_base": os.path.join(scene, "depth", cam),
+    }
+    items_path = str(tmp_path / "items.txt")
+    write_items(items_path, [item] * 2)
+
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    reqs = []
+    for i, extra in enumerate([{}, {"prompt": "night driving", "seed": 7}]):
+        req = {"items": items_path, "out": str(tmp_path / f"out{i}"),
+               "max_windows": 1, **extra}
+        path = spool / f"req{i}.json"
+        path.write_text(json.dumps(req))
+        # distinct mtimes -> deterministic oldest-first order
+        os.utime(path, (time.time() - 10 + i, time.time() - 10 + i))
+        reqs.append(req)
+    (spool / "bad.json").write_text("{not json")
+    os.utime(spool / "bad.json", (time.time(), time.time()))
+
+    rc = serve.main([
+        "--spool", str(spool), "--preset", "tiny",
+        "--height", "32", "--width", "64", "--video_length", "4",
+        "--steps", "1", "--max_requests", "3",
+    ])
+    assert rc == 0
+    for i in range(2):
+        done = json.loads((spool / f"req{i}.done").read_text())
+        assert done["windows"] == 1
+        for task in ("color", "depth", "semantic"):
+            assert os.path.exists(os.path.join(
+                reqs[i]["out"], f"virtual_{task}", f"{task}_re_0.png"))
+    assert (spool / "bad.err").exists()
+    assert not list(spool.glob("*.json")) and not list(spool.glob("*.active"))
+
+
 def test_train_mdm_end_to_end(scene, tmp_path):
     """Train app: tiny preset, 3 steps on the synthetic scene, metrics JSONL
     and an orbax checkpoint written."""

@@ -84,6 +84,30 @@ def test_tensor_parallel_unet_matches_replicated():
     out = fn(params_tp, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
+    # int8-quantized UNets keep the same column/row layout (quant.py renames
+    # 'weight' -> 'weight_i8'/'weight_q8'; the rules must still match) and
+    # still run under the TP mesh
+    from mudg_tpu import quant
+
+    for mode in ("w8a8", "w8"):
+        qparams = quant.quantize_pytree(params, min_size=0, mode=mode)
+        qspecs = {
+            jax.tree_util.keystr(path): s.spec
+            for path, s in jax.tree_util.tree_flatten_with_path(
+                TP.unet_tp_shardings(qparams, mesh))[0]
+        }
+        n_sharded = sum(
+            1 for k, s in qspecs.items()
+            if ("weight_i8" in k or "weight_q8" in k)
+            and s != jax.sharding.PartitionSpec()
+        )
+        assert n_sharded > 0, f"{mode}: no quantized leaf got a TP sharding"
+        q_tp = TP.shard_unet_tp(qparams, mesh)
+        out_q = fn(q_tp, x)
+        ref_q = fn(qparams, x)
+        np.testing.assert_allclose(np.asarray(out_q), np.asarray(ref_q),
+                                   atol=2e-5)
+
 
 def test_sequence_parallel_unet_matches_replicated():
     """Single-clip sequence parallelism (parallel/sp.py): spatial layers
