@@ -10,6 +10,7 @@ Commands map to the apps package:
   preprocess   Waymo tfrecord -> scene dirs ETL     (apps.preprocess)
   segment      SegFormer semantic maps per frame    (apps.segment)
   densify      learned/classical depth densification (apps.densify_depth)
+  quantize     checkpoint -> int8 orbax for serving (apps.quantize_ckpt)
   bench        the repo benchmark                   (bench.py main)
 """
 from __future__ import annotations
@@ -41,6 +42,8 @@ def main(argv=None):
         from .apps.segment import main as run
     elif cmd == "densify":
         from .apps.densify_depth import main as run
+    elif cmd == "quantize":
+        from .apps.quantize_ckpt import main as run
     elif cmd == "bench":
         import importlib.util
         import os

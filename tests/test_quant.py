@@ -204,6 +204,42 @@ def test_sample_with_quantized_unet():
     assert snr_db(out_ref, out_q) > 12
 
 
+def test_quantize_ckpt_app_roundtrip(tmp_path):
+    """apps/quantize_ckpt: orbax -> quantized orbax; int8 leaves survive the
+    save/restore and the result loads as a serving checkpoint."""
+    from mudg_tpu.apps import quantize_ckpt
+    from mudg_tpu.models import mdm as M
+    from mudg_tpu.train import checkpoint as C
+    from tests.test_mdm import tiny_mdm_cfg
+
+    cfg = tiny_mdm_cfg()
+    params = M.init_mdm(jax.random.PRNGKey(0), cfg)
+    src = str(tmp_path / "src")
+    C.save_pytree(src, params)
+
+    out = str(tmp_path / "q")
+    rc = quantize_ckpt.main([
+        "--ckpt", src, "--out", out, "--preset", "tiny",
+        "--mode", "int8", "--min_size", "0",
+    ])
+    assert rc == 0
+    restored = C.load_pytree(out)
+    qleaf = restored["unet"]["input_blocks"]["1"]["0"]["in_layers"]["2"]
+    assert qleaf["weight_i8"].dtype == jnp.int8
+    w_src = params["unet"]["input_blocks"]["1"]["0"]["in_layers"]["2"]["weight"]
+    deq = (np.asarray(qleaf["weight_i8"], np.float32)
+           * np.asarray(qleaf["scale"]))
+    assert snr_db(np.asarray(w_src), deq) > 40
+    # the quantized tree runs through the model forward
+    y = M.denoise(
+        restored, cfg,
+        jnp.zeros((1, 4, 8, 8, 4)), jnp.array([5]),
+        jnp.zeros((1, 4, 8, 8, 8)),
+        jnp.zeros((1, 77 + 4 * 2, 16)), jnp.zeros((1,), jnp.int32),
+    )
+    assert np.all(np.isfinite(np.asarray(y)))
+
+
 def test_quantized_tree_is_jit_argument_friendly():
     """The quantized pytree must pass through jit boundaries (int8 leaves as
     arguments, not baked constants)."""
