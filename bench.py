@@ -100,6 +100,7 @@ def main():
 
     # compile + warmup
     log("compiling + warmup")
+    t_main0 = time.perf_counter()
     t0 = time.perf_counter()
     out = clip_fn(unet, vae, c_concat, context, jax.random.PRNGKey(1))
     out.block_until_ready()
@@ -120,6 +121,33 @@ def main():
         "unit": "s/clip (16f 320x512, 25-step DDIM, 2pt-CFG, bf16, 1 chip)",
         "vs_baseline": round(10.0 / p50, 3),
     }
+    if (os.environ.get("MUDG_BENCH_SKIP_INT8") != "1"
+            and os.environ.get("MUDG_BENCH_INT8") != "1"
+            and jax.default_backend() == "tpu"
+            # only when the bf16 phase was fast (warm compile cache): the
+            # int8 variant is a separate executable, and a cold compile of
+            # both could overrun the driver's bench timeout
+            and time.perf_counter() - t_main0 < 240):
+        # secondary metric: the same clip through the int8 W8A8 serving path
+        # (render_infer --quantize int8). Guarded — the headline bf16 number
+        # must never sink with it.
+        try:
+            from mudg_tpu import quant
+
+            unet_q = quant.quantize_pytree(unet)
+            log("compiling int8 variant")
+            out = clip_fn(unet_q, vae, c_concat, context, jax.random.PRNGKey(9))
+            out.block_until_ready()
+            t_i8 = []
+            for i in range(3):
+                t0 = time.perf_counter()
+                out = clip_fn(unet_q, vae, c_concat, context,
+                              jax.random.PRNGKey(10 + i))
+                out.block_until_ready()
+                t_i8.append(time.perf_counter() - t0)
+            result["int8_s_per_clip"] = round(float(np.median(t_i8)), 3)
+        except Exception as e:  # pragma: no cover
+            log(f"int8 variant failed: {type(e).__name__}: {e}")
     try:
         psnr = _psnr_vs_torch_oracle(log)
     except Exception as e:  # quality canary must never sink the bench

@@ -26,6 +26,10 @@ def main(argv=None):
     p.add_argument("--min_size", type=int, default=None,
                    help="min weight elements to quantize (default "
                         "quant.MIN_QUANT_SIZE)")
+    p.add_argument("--conv_mode", default=None, choices=("int8", "int8-weights"),
+                   help="override for conv layers; use int8-weights if the "
+                        "artifact will serve under --seq_parallel (XLA SPMD "
+                        "cannot partition int8 convs)")
     args = p.parse_args(argv)
 
     import jax
@@ -38,8 +42,11 @@ def main(argv=None):
     cfg = presets.get(args.preset)
     params = load_params(args, cfg)
     mode = "w8a8" if args.mode == "int8" else "w8"
+    conv_mode = (None if args.conv_mode is None
+                 else "w8a8" if args.conv_mode == "int8" else "w8")
     params = dict(params, unet=quant.quantize_pytree(
-        params["unet"], mode=mode, min_size=args.min_size))
+        params["unet"], mode=mode, min_size=args.min_size,
+        conv_mode=conv_mode))
     rep = quant.size_report(params["unet"])
     # orbax restores what was saved — materialize on host-visible devices
     params = jax.tree.map(jax.numpy.asarray, params)

@@ -54,6 +54,55 @@ def load_params(args, cfg):
     return params
 
 
+def make_sp(seq_parallel: bool):
+    """Build the sequence-parallel sharding when requested and >1 device is
+    visible. Returns (sp, impl): sp=None/impl='auto' otherwise. impl='xla'
+    because the SPMD partitioner cannot split Pallas calls (parallel/sp.py)."""
+    import jax
+
+    if seq_parallel and jax.device_count() > 1:
+        from ..parallel import mesh as PM
+        from ..parallel import sp as SP
+
+        return SP.make_seq_sharding(PM.make_mesh(axis_names=("seq",))), "xla"
+    return None, "auto"
+
+
+def prepare_serving_params(params, quantize: str, sp):
+    """Apply serving-time quantization (shared by render_infer and serve).
+
+    quantize: 'none' | 'int8' (W8A8 dynamic) | 'int8-weights' (weight-only).
+    Under sequence parallelism conv leaves fall back to weight-only — XLA's
+    SPMD partitioner cannot handle int8 conv_general_dilated (see
+    quant.quantize_pytree docstring) — including convs inside an
+    already-quantized checkpoint artifact (apps/quantize_ckpt.py), whose
+    w8a8 conv leaves are demoted by a pure key rename."""
+    from .. import quant
+
+    if quantize != "none":
+        mode = "w8a8" if quantize == "int8" else "w8"
+        params = dict(params, unet=quant.quantize_pytree(
+            params["unet"], mode=mode,
+            conv_mode="w8" if sp is not None else None))
+    if sp is not None:
+        unet, n = quant.conv_w8a8_to_w8(params["unet"])
+        if n:
+            params = dict(params, unet=unet)
+            print(f"seq-parallel: {n} int8 conv layers demoted to "
+                  "weight-only (SPMD cannot partition int8 convs)", flush=True)
+        # checkpoint loads commit arrays to ONE device; the sharded sampler
+        # needs them replicated over the mesh (uncommitted random-init params
+        # only worked by accident of placement freedom)
+        from ..parallel import mesh as PM
+
+        params = PM.replicate(params, sp.rows.mesh)
+    if quantize != "none":
+        rep = quant.size_report(params["unet"])
+        print(f"{quantize} UNet: {rep['int8_bytes']/2**20:.0f} MiB int8 + "
+              f"{rep['other_bytes']/2**20:.0f} MiB fp", flush=True)
+    return params
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--items", required=True, help="dict-per-line item file")
@@ -121,15 +170,8 @@ def main(argv=None):
 
         cfg = _dc.replace(cfg, base_scale=args.base_scale)
     params = load_params(args, cfg)
-    if args.quantize != "none":
-        from .. import quant
-
-        mode = "w8a8" if args.quantize == "int8" else "w8"
-        params = dict(params,
-                      unet=quant.quantize_pytree(params["unet"], mode=mode))
-        rep = quant.size_report(params["unet"])
-        print(f"{mode} UNet: {rep['int8_bytes']/2**20:.0f} MiB int8 + "
-              f"{rep['other_bytes']/2**20:.0f} MiB fp", flush=True)
+    sp, impl = make_sp(args.seq_parallel)
+    params = prepare_serving_params(params, args.quantize, sp)
     # real checkpoints demand the real BPE table (hash ids would index
     # meaningless rows of the learned text embedding)
     tokenizer = default_tokenizer(args.bpe, require_real=bool(args.ckpt))
@@ -141,15 +183,6 @@ def main(argv=None):
 
     tokens = jnp.asarray(tokenizer([args.prompt] * len(TASKS)))
     null_tokens = jnp.asarray(tokenizer([""])[0])
-
-    sp = None
-    impl = "auto"
-    if args.seq_parallel and jax.device_count() > 1:
-        from ..parallel import mesh as PM
-        from ..parallel import sp as SP
-
-        sp = SP.make_seq_sharding(PM.make_mesh(axis_names=("seq",)))
-        impl = "xla"
 
     sample_fn = build_sampler(
         cfg, steps=args.steps, cfg_scale=args.cfg_scale, cfg_img=args.cfg_img,

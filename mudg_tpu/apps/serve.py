@@ -32,7 +32,8 @@ import os
 import time
 import traceback
 
-from .render_infer import TASKS, build_sampler, load_params, render_items
+from .render_infer import (TASKS, build_sampler, load_params, make_sp,
+                           prepare_serving_params, render_items)
 
 
 def process_request(req, params, sample_fn, tokenizer, *, video_length,
@@ -75,6 +76,10 @@ def main(argv=None):
     p.add_argument("--dtype", default="bf16", choices=("bf16", "f32"))
     p.add_argument("--quantize", default="none",
                    choices=("none", "int8", "int8-weights"))
+    p.add_argument("--seq_parallel", action="store_true",
+                   help="shard each clip's sampling over all devices "
+                        "(parallel/sp.py; same flag as render_infer). "
+                        "Ignored on a single device.")
     p.add_argument("--base_scale", type=float, default=None)
     p.add_argument("--poll", type=float, default=2.0,
                    help="spool scan interval (seconds)")
@@ -95,12 +100,8 @@ def main(argv=None):
 
         cfg = _dc.replace(cfg, base_scale=args.base_scale)
     params = load_params(args, cfg)
-    if args.quantize != "none":
-        from .. import quant
-
-        mode = "w8a8" if args.quantize == "int8" else "w8"
-        params = dict(params,
-                      unet=quant.quantize_pytree(params["unet"], mode=mode))
+    sp, impl = make_sp(args.seq_parallel)
+    params = prepare_serving_params(params, args.quantize, sp)
     tokenizer = default_tokenizer(args.bpe, require_real=bool(args.ckpt))
     sample_fn = build_sampler(
         cfg, steps=args.steps, cfg_scale=args.cfg_scale, cfg_img=args.cfg_img,
@@ -108,6 +109,7 @@ def main(argv=None):
         guidance_rescale=args.guidance_rescale, eta=args.eta,
         timestep_spacing=args.timestep_spacing, fps=args.fps,
         dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32,
+        impl=impl, sp=sp,
     )
 
     os.makedirs(args.spool, exist_ok=True)

@@ -64,7 +64,8 @@ def _is_quantizable_leaf_dict(p) -> bool:
     return set(p.keys()) <= {"weight", "bias"}
 
 
-def quantize_pytree(params, *, min_size: int | None = None, mode: str = "w8a8"):
+def quantize_pytree(params, *, min_size: int | None = None, mode: str = "w8a8",
+                    conv_mode: str | None = None):
     """Walk a torch-layout parameter pytree and quantize every conv/linear
     'weight' leaf (ndim >= 2, size >= min_size) to int8 + per-out-channel
     scale. Returns a new pytree; unquantized leaves are shared, not copied.
@@ -77,17 +78,31 @@ def quantize_pytree(params, *, min_size: int | None = None, mode: str = "w8a8"):
           activation-quantization error; halves the UNet's parameter
           footprint — e.g. MDM1024 HBM relief — at unchanged MXU rate).
 
+    conv_mode overrides `mode` for convolution leaves (weight ndim > 2;
+    (3,1,1) temporal convs run as matmuls and follow `mode`). Use
+    conv_mode="w8" with sharded inference (parallel/sp.py): XLA's SPMD
+    partitioner RET_CHECK-crashes on int8 conv_general_dilated (a
+    wrong-element-type broadcast it emits after partitioning), while int8
+    dot_general partitions fine — caught by
+    tests/test_parallel_inference.py.
+
     Output-channel axis is -1 for every layout in this codebase
     (Linear (in, out), ConvNd (*k, in, out) — nn/functional.py:7-12)."""
     threshold = MIN_QUANT_SIZE if min_size is None else min_size
     assert mode in ("w8a8", "w8"), mode
-    wkey = "weight_i8" if mode == "w8a8" else "weight_q8"
+    conv_mode = mode if conv_mode is None else conv_mode
+    assert conv_mode in ("w8a8", "w8"), conv_mode
+
+    def keyname(w) -> str:
+        is_conv = w.ndim > 2 and tuple(w.shape[:3]) != (3, 1, 1)
+        m = conv_mode if is_conv else mode
+        return "weight_i8" if m == "w8a8" else "weight_q8"
 
     def walk(p):
         if isinstance(p, dict):
             if _is_quantizable_leaf_dict(p) and p["weight"].size >= threshold:
                 w_i8, scale = quantize_weight(p["weight"])
-                q = {wkey: w_i8, "scale": scale}
+                q = {keyname(p["weight"]): w_i8, "scale": scale}
                 if "bias" in p and p["bias"] is not None:
                     q["bias"] = p["bias"]
                 return q
@@ -95,6 +110,34 @@ def quantize_pytree(params, *, min_size: int | None = None, mode: str = "w8a8"):
         return p
 
     return walk(params)
+
+
+def conv_w8a8_to_w8(params):
+    """Demote W8A8 conv leaves to weight-only (w8a8 -> w8) in place of a
+    re-quantization: weight_i8 and weight_q8 hold the IDENTICAL int8 tensor
+    (same quantize_weight output) — only the leaf key selects the forward
+    path — so this is a pure key rename on conv leaves (ndim > 2, excluding
+    the (3,1,1) temporal convs, which run as matmuls and partition fine).
+
+    Used when serving an already-quantized checkpoint (apps/quantize_ckpt.py
+    artifact) under sequence parallelism: XLA's SPMD partitioner cannot
+    handle int8 conv_general_dilated (see quantize_pytree docstring).
+    Returns (new_tree, n_renamed)."""
+    n = 0
+
+    def walk(p):
+        nonlocal n
+        if isinstance(p, dict):
+            w = p.get("weight_i8")
+            if (w is not None and hasattr(w, "ndim") and w.ndim > 2
+                    and tuple(w.shape[:3]) != (3, 1, 1)):
+                n += 1
+                return {("weight_q8" if k == "weight_i8" else k): v
+                        for k, v in p.items()}
+            return {k: walk(v) for k, v in p.items()}
+        return p
+
+    return walk(params), n
 
 
 def dequantize_weight(p, dtype):

@@ -90,7 +90,10 @@ def test_render_infer_seq_parallel(scene, tmp_path):
 def test_serve_spool_daemon(scene, tmp_path):
     """apps/serve: two spooled requests processed by ONE warm sampler —
     outputs written per request, .done markers with metrics, a malformed
-    request gets a .err marker, daemon exits via --max_requests."""
+    request gets a .err marker, daemon exits via --max_requests. The daemon
+    runs with --quantize int8 --seq_parallel to compose warm serving with
+    the int8 path and the sharded sampler (the plain sampler flavor is
+    covered by the render_infer tests; daemon mechanics are orthogonal)."""
     import json
     import time
 
@@ -129,6 +132,7 @@ def test_serve_spool_daemon(scene, tmp_path):
         "--spool", str(spool), "--preset", "tiny",
         "--height", "32", "--width", "64", "--video_length", "4",
         "--steps", "1", "--max_requests", "3",
+        "--quantize", "int8", "--seq_parallel",
     ])
     assert rc == 0
     for i in range(2):

@@ -147,6 +147,20 @@ def test_sequence_parallel_unet_matches_replicated():
                ("all-to-all", "all-gather", "collective-permute")), \
         "expected resharding collectives in the partitioned HLO"
 
+    # sequence parallelism composes with int8 quantization (serve/render can
+    # pass both --seq_parallel and --quantize): the quantized sharded forward
+    # must match the quantized replicated forward. conv_mode="w8" because
+    # XLA's SPMD partitioner RET_CHECK-crashes on int8 conv_general_dilated
+    # (s8 broadcast type mismatch) — render_infer applies the same fallback.
+    from mudg_tpu import quant
+
+    qparams = quant.quantize_pytree(params, min_size=0, conv_mode="w8")
+    ref_q = jax.jit(
+        lambda p, x: U.unet_apply(p, cfg, x, ts, ctx, c_label=lab, impl="xla")
+    )(qparams, x)
+    out_q = fn_sp(qparams, x)
+    np.testing.assert_allclose(np.asarray(out_q), np.asarray(ref_q), atol=2e-5)
+
 
 def test_sequence_parallel_sampling_matches_replicated():
     """Sequence-parallel INFERENCE end-to-end: one clip's DDIM sampling over

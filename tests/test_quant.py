@@ -107,6 +107,34 @@ def test_temporal_conv311_i8_matches_fp32():
     assert snr_db(y_ref, y_q) > 30
 
 
+def test_conv_w8a8_to_w8_rename():
+    """conv_w8a8_to_w8 demotes only true-conv w8a8 leaves (ndim > 2, not
+    (3,1,1) temporal) by a pure key rename: the result must be IDENTICAL to
+    quantizing with conv_mode='w8' in the first place, and linear/temporal
+    leaves must keep their w8a8 key."""
+    rng = np.random.default_rng(7)
+    p = {
+        "conv": {"weight": jnp.asarray(rng.normal(0, 0.05, (3, 3, 8, 8)).astype(np.float32))},
+        "tconv": {"weight": jnp.asarray(rng.normal(0, 0.05, (3, 1, 1, 16, 16)).astype(np.float32))},
+        "lin": {"weight": jnp.asarray(rng.normal(0, 0.05, (16, 16)).astype(np.float32)),
+                "bias": jnp.zeros((16,))},
+    }
+    q = quant.quantize_pytree(p, min_size=0)
+    demoted, n = quant.conv_w8a8_to_w8(q)
+    assert n == 1
+    assert "weight_q8" in demoted["conv"] and "weight_i8" not in demoted["conv"]
+    assert "weight_i8" in demoted["tconv"]   # (3,1,1) runs as matmuls: keep
+    assert "weight_i8" in demoted["lin"]
+    ref = quant.quantize_pytree(p, min_size=0, conv_mode="w8")
+    for path in (("conv", "weight_q8"), ("conv", "scale")):
+        np.testing.assert_array_equal(
+            np.asarray(demoted[path[0]][path[1]]),
+            np.asarray(ref[path[0]][path[1]]))
+    # idempotent on an already-demoted tree
+    again, n2 = quant.conv_w8a8_to_w8(demoted)
+    assert n2 == 0
+
+
 def test_quantize_pytree_selectivity():
     """Norms/embeddings/small leaves stay fp; conv/linear weights convert."""
     rng = jax.random.PRNGKey(0)
