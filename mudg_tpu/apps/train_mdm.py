@@ -78,6 +78,10 @@ def main(argv=None):
     p.add_argument("--preset", default=None, choices=(None, "mdm512", "mdm1024", "tiny"))
     p.add_argument("--auto_resume", action="store_true",
                    help="resume from the latest step_N checkpoint in --out")
+    p.add_argument("--fsdp", action="store_true",
+                   help="ZeRO-3/FSDP: shard params, optimizer moments, EMA "
+                        "and the frozen encoder towers over the 'data' axis "
+                        "(default shards only the moments, ZeRO-2)")
     args = p.parse_args(argv)
 
     import jax
@@ -140,13 +144,9 @@ def main(argv=None):
     state = TS.init_train_state(params, tc)
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    state = TS.TrainState(
-        PM.replicate(state.params, mesh),
-        PM.shard_tree_zero(state.opt_state, mesh),
-        PM.replicate(state.ema_params, mesh) if state.ema_params is not None else None,
-        jax.device_put(state.step, NamedSharding(mesh, P())),
-    )
-    frozen = PM.replicate(frozen, mesh)
+    state, frozen = TS.place_train_state(state, frozen, mesh, fsdp=args.fsdp)
+    if args.fsdp:
+        print("fsdp: params/moments/EMA/frozen towers sharded over 'data'")
 
     grad_mask = None
     if temporal_frozen:
@@ -202,8 +202,10 @@ def main(argv=None):
         if ckpts:
             step_i, latest = ckpts[-1]
             restored = C.load_pytree(os.path.join(args.out, latest))
+            restored = (PM.shard_tree_zero(restored, mesh) if args.fsdp
+                        else PM.replicate(restored, mesh))
             state = state._replace(
-                params=PM.replicate(restored, mesh),
+                params=restored,
                 step=jax.device_put(
                     jnp.asarray(step_i, jnp.int32), NamedSharding(mesh, P())
                 ),

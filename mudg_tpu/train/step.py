@@ -92,6 +92,37 @@ def temporal_frozen_mask(unet_cfg, unet_params) -> dict:
     return mask
 
 
+def place_train_state(state: "TrainState", frozen: dict, mesh, *,
+                      fsdp: bool = False, axis: str = "data"):
+    """Place a TrainState + frozen towers on a mesh. Returns (state, frozen).
+
+    fsdp=False (default, the reference's DDPSharded analog,
+    main/utils_train.py:126-137): params/EMA replicated, optimizer moments
+    ZeRO-2-sharded over `axis`.
+
+    fsdp=True (ZeRO-3 / FSDP, beyond the reference): params, moments, EMA
+    AND the frozen encoder towers are all sharded over `axis` on each leaf's
+    largest divisible dim (parallel/mesh.shard_tree_zero). Pure placement —
+    the XLA SPMD partitioner inserts the all-gathers at use and
+    reduce-scatters in backward; per-chip HBM for the 1.44B bf16 params +
+    f32 masters + 2 moments drops ~n_devices-fold, the lever for MDM1024
+    training at scale."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel import mesh as PM
+
+    place = (lambda t: PM.shard_tree_zero(t, mesh, axis)) if fsdp else \
+            (lambda t: PM.replicate(t, mesh))
+    new_state = TrainState(
+        place(state.params),
+        PM.shard_tree_zero(state.opt_state, mesh, axis),
+        place(state.ema_params) if state.ema_params is not None else None,
+        jax.device_put(state.step, NamedSharding(mesh, P())),
+    )
+    return new_state, place(frozen)
+
+
 def make_optimizer(tc: TrainConfig, world_batch: int | None = None):
     lr = tc.learning_rate
     if tc.scale_lr and world_batch:

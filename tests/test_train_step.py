@@ -134,6 +134,37 @@ def test_data_parallel_mesh_step(setup):
     assert int(state2.step) == 1
 
 
+def test_fsdp_param_sharding_step(setup):
+    """FSDP/ZeRO-3 placement (place_train_state(fsdp=True)): params, moments
+    and frozen towers sharded over ('data',); the step must produce the SAME
+    loss and updated params as the replicated placement — sharding is pure
+    placement, never math."""
+    cfg, params, arrays, null = setup
+    mesh = PM.make_mesh()
+    tc = TS.TrainConfig(accum_steps=1, learning_rate=1e-3)
+    _, frozen = TS.split_params(params)
+    batch = _batch(11, b=8)
+
+    def run(fsdp):
+        state, fz = TS.place_train_state(
+            TS.init_train_state(params, tc), frozen, mesh, fsdp=fsdp)
+        if fsdp:
+            sharded = [x for x in jax.tree.leaves(state.params)
+                       if not x.sharding.is_fully_replicated]
+            assert sharded, "fsdp placement left every param replicated"
+        step = TS.make_train_step(cfg, tc, fz, arrays, null,
+                                  impl="xla", remat=False, donate=False)
+        st2, metrics = step(state, PM.shard_batch(batch, mesh),
+                            jax.random.PRNGKey(12))
+        return st2, float(metrics["loss"])
+
+    st_rep, loss_rep = run(False)
+    st_fsdp, loss_fsdp = run(True)
+    assert abs(loss_rep - loss_fsdp) < 1e-5
+    for a, b in zip(jax.tree.leaves(st_rep.params), jax.tree.leaves(st_fsdp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_zero_sharding_specs():
     mesh = PM.make_mesh()
     spec = PM.largest_divisible_axis_spec((320, 1280), 8, "data")
