@@ -67,6 +67,13 @@ def main(argv=None):
     p.add_argument("--lr", type=float, default=1e-5)
     p.add_argument("--max_steps", type=int, default=100000)
     p.add_argument("--ckpt_every", type=int, default=500)
+    p.add_argument("--full_ckpt_every", type=int, default=1000,
+                   help="save the FULL train state (params + optimizer "
+                        "moments + EMA) every N steps as trainstate_N — the "
+                        "reference's non-deleting trainstep checkpoints "
+                        "(configs/stage1 modelckpt every 1000); 0 disables. "
+                        "--auto_resume prefers these over weights-only "
+                        "step_N so Adam moments survive preemption")
     p.add_argument("--log_every", type=int, default=50)
     p.add_argument("--seed", type=int, default=20230211)
     p.add_argument("--use_ema", action="store_true")
@@ -192,15 +199,33 @@ def main(argv=None):
     rng = jax.random.PRNGKey(args.seed)
     step_i = 0
 
-    # --auto_resume: restore trainable params + step from the newest step_N
-    # checkpoint in the workspace (trainer.py:27-28 analog, actually wired)
+    # --auto_resume: restore from the newest checkpoint in the workspace
+    # (trainer.py:27-28 analog, actually wired). Full trainstate_N
+    # checkpoints win over weights-only step_N at the same or later step —
+    # they restore the Adam moments and EMA too.
     if args.auto_resume:
-        ckpts = sorted(
-            (int(d.split("_")[1]), d) for d in os.listdir(args.out)
-            if d.startswith("step_") and d.split("_")[1].isdigit()
-        )
-        if ckpts:
-            step_i, latest = ckpts[-1]
+        def newest(prefix):
+            found = sorted(
+                (int(d.split("_")[1]), d) for d in os.listdir(args.out)
+                if d.startswith(prefix) and d.split("_")[1].isdigit()
+            )
+            return found[-1] if found else (None, None)
+
+        w_step, w_dir = newest("step_")
+        f_step, f_dir = newest("trainstate_")
+        if f_step is not None and (w_step is None or f_step >= w_step):
+            step_i, latest = f_step, f_dir
+            like = jax.device_get({"params": state.params,
+                                   "opt_state": state.opt_state,
+                                   "ema": state.ema_params,
+                                   "step": np.zeros((), np.int32)})
+            restored = C.load_pytree(os.path.join(args.out, latest), like)
+            state = TS.TrainState(restored["params"], restored["opt_state"],
+                                  restored["ema"],
+                                  jnp.asarray(step_i, jnp.int32))
+            state, _ = TS.place_train_state(state, {}, mesh, fsdp=args.fsdp)
+        elif w_step is not None:
+            step_i, latest = w_step, w_dir
             restored = C.load_pytree(os.path.join(args.out, latest))
             restored = (PM.shard_tree_zero(restored, mesh) if args.fsdp
                         else PM.replicate(restored, mesh))
@@ -210,6 +235,7 @@ def main(argv=None):
                     jnp.asarray(step_i, jnp.int32), NamedSharding(mesh, P())
                 ),
             )
+        if w_step is not None or f_step is not None:
             print(f"auto-resume: restored {latest} at step {step_i}")
 
     t0 = time.time()
@@ -261,6 +287,14 @@ def main(argv=None):
                     C.save_pytree(
                         os.path.join(args.out, f"step_{step_i}"),
                         jax.device_get(state.params),
+                    )
+                if args.full_ckpt_every and step_i % args.full_ckpt_every == 0:
+                    C.save_pytree(
+                        os.path.join(args.out, f"trainstate_{step_i}"),
+                        jax.device_get({"params": state.params,
+                                        "opt_state": state.opt_state,
+                                        "ema": state.ema_params,
+                                        "step": np.asarray(step_i, np.int32)}),
                     )
                 if step_i >= args.max_steps:
                     break

@@ -73,3 +73,38 @@ def shard_unet_tp(params, mesh: Mesh, axis: str = "model"):
     """Place UNet params according to the TP layout."""
     shardings = unet_tp_shardings(params, mesh, axis)
     return jax.tree.map(jax.device_put, params, shardings)
+
+
+def unet_tp_fsdp_shardings(params, mesh: Mesh, tp_axis: str = "model",
+                           dp_axis: str = "data", min_size: int = 2**14):
+    """2D weight sharding: Megatron TP specs first, then each big leaf's
+    largest TP-unused dim sharded over the data axis (FSDP/ZeRO-3) — the
+    standard production layout when neither axis alone is enough. Leaves the
+    TP layout untouched on dims the column/row specs claim; small leaves
+    stay as pure TP (replicated over 'data')."""
+    import numpy as np
+
+    n_model = mesh.shape[tp_axis]
+    n_data = mesh.shape[dp_axis]
+
+    def spec(path, leaf):
+        shape = tuple(getattr(leaf, "shape", ()))
+        tp_spec = _spec_for_path(path, leaf, tp_axis, n_model)
+        full = list(tp_spec) + [None] * (len(shape) - len(tp_spec))
+        if shape and int(np.prod(shape)) >= min_size:
+            used = {i for i, s in enumerate(full) if s is not None}
+            for i in sorted(range(len(shape)), key=lambda i: -shape[i]):
+                if i not in used and shape[i] % n_data == 0 and shape[i] >= n_data:
+                    full[i] = dp_axis
+                    break
+        return NamedSharding(mesh, P(*full))
+
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
+def shard_unet_tp_fsdp(params, mesh: Mesh, tp_axis: str = "model",
+                       dp_axis: str = "data", min_size: int = 2**14):
+    """Place UNet params on the combined FSDP x TP 2D layout."""
+    shardings = unet_tp_fsdp_shardings(params, mesh, tp_axis, dp_axis,
+                                       min_size=min_size)
+    return jax.tree.map(jax.device_put, params, shardings)

@@ -203,9 +203,11 @@ def test_refine_gs_end_to_end(scene, tmp_path):
     assert hist[-1]["loss"] <= hist[0]["loss"] * 1.2
 
 
-def test_train_mdm_auto_resume(scene, tmp_path):
-    """--auto_resume restores the latest step checkpoint and continues the
-    step counter."""
+def test_train_mdm_auto_resume(scene, tmp_path, capsys):
+    """--auto_resume restores the latest checkpoint and continues the step
+    counter; with --full_ckpt_every the FULL train state (params + Adam
+    moments + EMA slot) is saved as trainstate_N and preferred over the
+    weights-only step_N at resume."""
     from mudg_tpu.apps.make_conditions import render_scene_conditions
     from mudg_tpu.data.waymo import write_items
     from mudg_tpu.apps import train_mdm
@@ -227,16 +229,20 @@ def test_train_mdm_auto_resume(scene, tmp_path):
         "--items", items_path, "--out", out_dir, "--preset", "tiny",
         "--height", "32", "--width", "64", "--video_length", "4",
         "--batch_size", "2", "--accum", "1",
-        "--ckpt_every", "2", "--log_every", "1",
+        "--ckpt_every", "2", "--log_every", "1", "--full_ckpt_every", "2",
     ]
     train_mdm.main(common + ["--max_steps", "2"])
     assert os.path.isdir(os.path.join(out_dir, "step_2"))
+    assert os.path.isdir(os.path.join(out_dir, "trainstate_2"))
+    capsys.readouterr()
     train_mdm.main(common + ["--max_steps", "4", "--auto_resume"])
+    assert "restored trainstate_2" in capsys.readouterr().out
     import json
     lines = [json.loads(l) for l in open(os.path.join(out_dir, "metrics.jsonl"))]
     steps = [l["step"] for l in lines if "loss" in l]
     assert max(steps) == 4 and 3 in steps  # resumed at 2, ran 3..4
     assert os.path.isdir(os.path.join(out_dir, "step_4"))
+    assert os.path.isdir(os.path.join(out_dir, "trainstate_4"))
 
 
 def test_render_infer_task_serial_matches_batched(scene, tmp_path):
