@@ -89,6 +89,12 @@ def main(argv=None):
                    help="ZeRO-3/FSDP: shard params, optimizer moments, EMA "
                         "and the frozen encoder towers over the 'data' axis "
                         "(default shards only the moments, ZeRO-2)")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel degree: builds a 2D ('data', "
+                        "'model') mesh and Megatron-shards attention/FF "
+                        "weights over 'model' (parallel/tp.py; composes "
+                        "with --fsdp). Forces the pure-XLA step (Pallas "
+                        "kernels cannot be partitioned)")
     args = p.parse_args(argv)
 
     import jax
@@ -143,15 +149,20 @@ def main(argv=None):
 
     import math
 
-    n_dev = math.gcd(args.batch_size, jax.device_count())
-    mesh = PM.make_mesh([n_dev], devices=jax.devices()[:n_dev])
-    print(f"mesh: {n_dev} devices on 'data' (batch {args.batch_size})")
+    assert jax.device_count() % args.tp == 0, \
+        f"--tp {args.tp} must divide the {jax.device_count()} devices"
+    n_data = math.gcd(args.batch_size, jax.device_count() // args.tp)
+    tp_axis = "model" if args.tp > 1 else None
+    mesh = PM.make_mesh([n_data, args.tp], ("data", "model"),
+                        devices=jax.devices()[:n_data * args.tp]) \
+        if args.tp > 1 else PM.make_mesh([n_data], devices=jax.devices()[:n_data])
+    print(f"mesh: {n_data} devices on 'data' x {args.tp} on 'model' "
+          f"(batch {args.batch_size})")
 
     trainable, frozen = TS.split_params(params)
     state = TS.init_train_state(params, tc)
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    state, frozen = TS.place_train_state(state, frozen, mesh, fsdp=args.fsdp)
+    state, frozen = TS.place_train_state(state, frozen, mesh, fsdp=args.fsdp,
+                                         tp_axis=tp_axis)
     if args.fsdp:
         print("fsdp: params/moments/EMA/frozen towers sharded over 'data'")
 
@@ -168,6 +179,7 @@ def main(argv=None):
     sched_arrays = M.schedule_arrays(cfg.schedule())
     train_step = TS.make_train_step(
         cfg, tc, frozen, sched_arrays, null_tokens, grad_mask=grad_mask,
+        impl="xla" if args.tp > 1 else "train",
     )
 
     ds = WaymoDataset(args.items, video_length=args.video_length,
@@ -223,19 +235,15 @@ def main(argv=None):
             state = TS.TrainState(restored["params"], restored["opt_state"],
                                   restored["ema"],
                                   jnp.asarray(step_i, jnp.int32))
-            state, _ = TS.place_train_state(state, {}, mesh, fsdp=args.fsdp)
         elif w_step is not None:
             step_i, latest = w_step, w_dir
-            restored = C.load_pytree(os.path.join(args.out, latest))
-            restored = (PM.shard_tree_zero(restored, mesh) if args.fsdp
-                        else PM.replicate(restored, mesh))
             state = state._replace(
-                params=restored,
-                step=jax.device_put(
-                    jnp.asarray(step_i, jnp.int32), NamedSharding(mesh, P())
-                ),
+                params=C.load_pytree(os.path.join(args.out, latest)),
+                step=jnp.asarray(step_i, jnp.int32),
             )
         if w_step is not None or f_step is not None:
+            state, _ = TS.place_train_state(state, {}, mesh, fsdp=args.fsdp,
+                                            tp_axis=tp_axis)
             print(f"auto-resume: restored {latest} at step {step_i}")
 
     t0 = time.time()

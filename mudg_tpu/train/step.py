@@ -93,7 +93,8 @@ def temporal_frozen_mask(unet_cfg, unet_params) -> dict:
 
 
 def place_train_state(state: "TrainState", frozen: dict, mesh, *,
-                      fsdp: bool = False, axis: str = "data"):
+                      fsdp: bool = False, axis: str = "data",
+                      tp_axis: str | None = None):
     """Place a TrainState + frozen towers on a mesh. Returns (state, frozen).
 
     fsdp=False (default, the reference's DDPSharded analog,
@@ -106,7 +107,14 @@ def place_train_state(state: "TrainState", frozen: dict, mesh, *,
     the XLA SPMD partitioner inserts the all-gathers at use and
     reduce-scatters in backward; per-chip HBM for the 1.44B bf16 params +
     f32 masters + 2 moments drops ~n_devices-fold, the lever for MDM1024
-    training at scale."""
+    training at scale.
+
+    tp_axis: name of a size>1 'model' mesh axis to add Megatron column/row
+    tensor parallelism on the attention/FF weights (parallel/tp.py); with
+    fsdp=True the two compose (tp.unet_tp_fsdp_shardings). TP requires the
+    step to run impl='xla' (the SPMD partitioner cannot split Pallas calls).
+    Frozen towers and moments are never TP-sharded (no matching layout) —
+    they follow the fsdp/ZeRO placement."""
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -114,10 +122,18 @@ def place_train_state(state: "TrainState", frozen: dict, mesh, *,
 
     place = (lambda t: PM.shard_tree_zero(t, mesh, axis)) if fsdp else \
             (lambda t: PM.replicate(t, mesh))
+    place_params = place
+    if tp_axis is not None and mesh.shape[tp_axis] > 1:
+        from ..parallel import tp as TP
+
+        place_params = (
+            (lambda t: TP.shard_unet_tp_fsdp(t, mesh, tp_axis, axis))
+            if fsdp else (lambda t: TP.shard_unet_tp(t, mesh, tp_axis))
+        )
     new_state = TrainState(
-        place(state.params),
+        place_params(state.params),
         PM.shard_tree_zero(state.opt_state, mesh, axis),
-        place(state.ema_params) if state.ema_params is not None else None,
+        place_params(state.ema_params) if state.ema_params is not None else None,
         jax.device_put(state.step, NamedSharding(mesh, P())),
     )
     return new_state, place(frozen)

@@ -245,6 +245,41 @@ def test_train_mdm_auto_resume(scene, tmp_path, capsys):
     assert os.path.isdir(os.path.join(out_dir, "trainstate_4"))
 
 
+def test_train_mdm_tp_fsdp(scene, tmp_path):
+    """--tp 2 --fsdp: the train app runs on a 2D (4, 2) ('data', 'model')
+    mesh with Megatron-sharded attention/FF weights composed with FSDP over
+    'data' (tp.unet_tp_fsdp_shardings via place_train_state)."""
+    import json
+    from mudg_tpu.apps.make_conditions import render_scene_conditions
+    from mudg_tpu.data.waymo import write_items
+    from mudg_tpu.apps import train_mdm
+
+    render_scene_conditions(scene, ("camera_FRONT",))
+    cam = "camera_FRONT"
+    item = {
+        "frames": [f"{i:08d}.jpg" for i in range(4)],
+        "dense_color_base": os.path.join(scene, "images", cam),
+        "sparse_color_base": os.path.join(scene, "sparse", cam),
+        "dense_semantic_base": os.path.join(scene, "semantic_dense", cam),
+        "dense_depth_base": os.path.join(scene, "six_frames_depth", cam),
+        "sparse_depth_base": os.path.join(scene, "depth", cam),
+    }
+    items_path = str(tmp_path / "items.txt")
+    write_items(items_path, [item] * 8)
+    out_dir = str(tmp_path / "run_tp")
+
+    train_mdm.main([
+        "--items", items_path, "--out", out_dir, "--preset", "tiny",
+        "--height", "32", "--width", "64", "--video_length", "4",
+        "--batch_size", "4", "--accum", "1", "--max_steps", "2",
+        "--ckpt_every", "2", "--log_every", "1", "--full_ckpt_every", "0",
+        "--tp", "2", "--fsdp",
+    ])
+    lines = [json.loads(l) for l in open(os.path.join(out_dir, "metrics.jsonl"))]
+    assert all(np.isfinite(l["loss"]) for l in lines if "loss" in l)
+    assert os.path.isdir(os.path.join(out_dir, "step_2"))
+
+
 def test_render_infer_task_serial_matches_batched(scene, tmp_path):
     """--task_serial (single-chip memory mode) produces the same outputs as
     the default 3-task batch: same RNG key drives both, so the sampled
