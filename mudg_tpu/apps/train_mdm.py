@@ -231,7 +231,20 @@ def main(argv=None):
                                    "opt_state": state.opt_state,
                                    "ema": state.ema_params,
                                    "step": np.zeros((), np.int32)})
-            restored = C.load_pytree(os.path.join(args.out, latest), like)
+            try:
+                restored = C.load_pytree(os.path.join(args.out, latest), like)
+            except Exception as e:
+                # structure mismatch — typically --use_ema differs from the
+                # saving run. Degrade to weights-only instead of a deep
+                # orbax traceback.
+                print(f"auto-resume: full restore of {latest} failed "
+                      f"({type(e).__name__}; --use_ema flag mismatch with "
+                      "the saving run?) — restoring weights only, optimizer "
+                      "state reset")
+                raw = C.load_pytree(os.path.join(args.out, latest))
+                restored = {"params": raw["params"],
+                            "opt_state": state.opt_state,
+                            "ema": state.ema_params}
             state = TS.TrainState(restored["params"], restored["opt_state"],
                                   restored["ema"],
                                   jnp.asarray(step_i, jnp.int32))
@@ -290,19 +303,26 @@ def main(argv=None):
                 if args.sample_every and step_i % args.sample_every == 0:
                     _log_samples(args, cfg, state, frozen, batch, tokenizer,
                                  step_i)
-                if want_ckpt["flag"] or step_i % args.ckpt_every == 0:
-                    want_ckpt["flag"] = False
+                # SIGUSR1 (preemption) saves BOTH artifacts — the full state
+                # is the one that makes resume lossless; params are gathered
+                # from the devices once and shared between the two writes.
+                save_weights = want_ckpt["flag"] or step_i % args.ckpt_every == 0
+                save_full = want_ckpt["flag"] or (
+                    args.full_ckpt_every
+                    and step_i % args.full_ckpt_every == 0)
+                want_ckpt["flag"] = False
+                if save_weights or save_full:
+                    host_params = jax.device_get(state.params)
+                if save_weights:
                     C.save_pytree(
-                        os.path.join(args.out, f"step_{step_i}"),
-                        jax.device_get(state.params),
-                    )
-                if args.full_ckpt_every and step_i % args.full_ckpt_every == 0:
+                        os.path.join(args.out, f"step_{step_i}"), host_params)
+                if save_full:
                     C.save_pytree(
                         os.path.join(args.out, f"trainstate_{step_i}"),
-                        jax.device_get({"params": state.params,
-                                        "opt_state": state.opt_state,
-                                        "ema": state.ema_params,
-                                        "step": np.asarray(step_i, np.int32)}),
+                        {"params": host_params,
+                         "opt_state": jax.device_get(state.opt_state),
+                         "ema": jax.device_get(state.ema_params),
+                         "step": np.asarray(step_i, np.int32)},
                     )
                 if step_i >= args.max_steps:
                     break

@@ -48,17 +48,19 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data"):
     return jax.tree.map(lambda x: jax.device_put(x, s), batch)
 
 
-def largest_divisible_axis_spec(shape, n: int, axis_name: str) -> P:
+def largest_divisible_axis_spec(shape, n: int, axis_name: str,
+                                exclude=()) -> P:
     """PartitionSpec sharding the largest dim divisible by n, else replicated.
 
     Used for ZeRO-style optimizer-state sharding: big leaves split across the
-    data axis, small ones stay replicated.
-    """
+    data axis, small ones stay replicated. `exclude` lists dims already
+    claimed by another mesh axis (tensor parallelism) that must stay
+    untouched."""
     if not shape:
         return P()
     order = sorted(range(len(shape)), key=lambda i: -shape[i])
     for i in order:
-        if shape[i] % n == 0 and shape[i] >= n:
+        if i not in exclude and shape[i] % n == 0 and shape[i] >= n:
             spec = [None] * len(shape)
             spec[i] = axis_name
             return P(*spec)

@@ -84,6 +84,8 @@ def unet_tp_fsdp_shardings(params, mesh: Mesh, tp_axis: str = "model",
     stay as pure TP (replicated over 'data')."""
     import numpy as np
 
+    from . import mesh as PM
+
     n_model = mesh.shape[tp_axis]
     n_data = mesh.shape[dp_axis]
 
@@ -93,10 +95,11 @@ def unet_tp_fsdp_shardings(params, mesh: Mesh, tp_axis: str = "model",
         full = list(tp_spec) + [None] * (len(shape) - len(tp_spec))
         if shape and int(np.prod(shape)) >= min_size:
             used = {i for i, s in enumerate(full) if s is not None}
-            for i in sorted(range(len(shape)), key=lambda i: -shape[i]):
-                if i not in used and shape[i] % n_data == 0 and shape[i] >= n_data:
-                    full[i] = dp_axis
-                    break
+            dp = PM.largest_divisible_axis_spec(shape, n_data, dp_axis,
+                                                exclude=used)
+            for i, a in enumerate(dp):
+                if a is not None:
+                    full[i] = a
         return NamedSharding(mesh, P(*full))
 
     return jax.tree_util.tree_map_with_path(spec, params)

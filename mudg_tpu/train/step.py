@@ -94,7 +94,7 @@ def temporal_frozen_mask(unet_cfg, unet_params) -> dict:
 
 def place_train_state(state: "TrainState", frozen: dict, mesh, *,
                       fsdp: bool = False, axis: str = "data",
-                      tp_axis: str | None = None):
+                      tp_axis: str | None = None, min_size: int = 2**14):
     """Place a TrainState + frozen towers on a mesh. Returns (state, frozen).
 
     fsdp=False (default, the reference's DDPSharded analog,
@@ -113,27 +113,58 @@ def place_train_state(state: "TrainState", frozen: dict, mesh, *,
     tensor parallelism on the attention/FF weights (parallel/tp.py); with
     fsdp=True the two compose (tp.unet_tp_fsdp_shardings). TP requires the
     step to run impl='xla' (the SPMD partitioner cannot split Pallas calls).
-    Frozen towers and moments are never TP-sharded (no matching layout) —
-    they follow the fsdp/ZeRO placement."""
+    The Adam mu/nu trees mirror the params pytree exactly and take the SAME
+    TP(,FSDP) shardings — the optimizer update stays local per shard; other
+    opt-state leaves and the frozen towers follow the fsdp/ZeRO placement.
+
+    min_size: leaves smaller than this stay replicated (both the ZeRO and
+    the FSDP-over-TP placements)."""
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from ..parallel import mesh as PM
 
-    place = (lambda t: PM.shard_tree_zero(t, mesh, axis)) if fsdp else \
-            (lambda t: PM.replicate(t, mesh))
-    place_params = place
+    def zero(t):
+        return PM.shard_tree_zero(t, mesh, axis, min_size=min_size)
+
+    place = zero if fsdp else (lambda t: PM.replicate(t, mesh))
+    param_shardings = None
     if tp_axis is not None and mesh.shape[tp_axis] > 1:
         from ..parallel import tp as TP
 
-        place_params = (
-            (lambda t: TP.shard_unet_tp_fsdp(t, mesh, tp_axis, axis))
-            if fsdp else (lambda t: TP.shard_unet_tp(t, mesh, tp_axis))
+        param_shardings = (
+            TP.unet_tp_fsdp_shardings(state.params, mesh, tp_axis, axis,
+                                      min_size=min_size)
+            if fsdp else TP.unet_tp_shardings(state.params, mesh, tp_axis)
         )
+
+    def place_like_params(t):
+        if param_shardings is None:
+            return place(t)
+        return jax.tree.map(jax.device_put, t, param_shardings)
+
+    pstruct = jax.tree.structure(state.params)
+
+    def is_params_shaped(n):
+        try:
+            return jax.tree.structure(n) == pstruct
+        except Exception:
+            return False
+
+    def place_opt(t):
+        if param_shardings is None:
+            return zero(t)
+        return jax.tree.map(
+            lambda n: (jax.tree.map(jax.device_put, n, param_shardings)
+                       if is_params_shaped(n) else zero(n)),
+            t, is_leaf=is_params_shaped,
+        )
+
     new_state = TrainState(
-        place_params(state.params),
-        PM.shard_tree_zero(state.opt_state, mesh, axis),
-        place_params(state.ema_params) if state.ema_params is not None else None,
+        place_like_params(state.params),
+        place_opt(state.opt_state),
+        place_like_params(state.ema_params)
+        if state.ema_params is not None else None,
         jax.device_put(state.step, NamedSharding(mesh, P())),
     )
     return new_state, place(frozen)
