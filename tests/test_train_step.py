@@ -165,6 +165,39 @@ def test_fsdp_param_sharding_step(setup):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_place_train_state_tp_moments_mirror_params(setup):
+    """Under TP the Adam mu/nu trees must take the params' TP shardings
+    (local optimizer update), not stay replicated over 'model'."""
+    cfg, params, arrays, null = setup
+    mesh = PM.make_mesh([4, 2], ("data", "model"))
+    tc = TS.TrainConfig(accum_steps=1)
+    _, frozen = TS.split_params(params)
+    state, _ = TS.place_train_state(
+        TS.init_train_state(params, tc), frozen, mesh,
+        fsdp=True, tp_axis="model", min_size=256)
+
+    pspecs = jax.tree.map(lambda x: x.sharding.spec, state.params)
+    assert any("model" in [a for a in s if a is not None]
+               for s in jax.tree.leaves(pspecs,
+                                        is_leaf=lambda s: isinstance(s, jax.sharding.PartitionSpec)))
+    # mu (and nu) mirror the params pytree: identical per-leaf specs
+    def find_adam(s):
+        if hasattr(s, "mu"):
+            return s
+        if isinstance(s, (tuple, list)):
+            for x in s:
+                r = find_adam(x)
+                if r is not None:
+                    return r
+        return None
+
+    mu = find_adam(state.opt_state).mu
+    mspecs = jax.tree.map(lambda x: x.sharding.spec, mu)
+    assert jax.tree.all(jax.tree.map(
+        lambda a, b: a == b, pspecs, mspecs,
+        is_leaf=lambda s: isinstance(s, jax.sharding.PartitionSpec)))
+
+
 def test_zero_sharding_specs():
     mesh = PM.make_mesh()
     spec = PM.largest_divisible_axis_spec((320, 1280), 8, "data")
