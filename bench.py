@@ -28,6 +28,29 @@ enable_compile_cache(
 
 
 def main():
+    # The axon device tunnel can be DOWN (observed: jax.devices() blocks
+    # forever). Probe backend init on a side thread with a hard bound so the
+    # bench fails fast and loud instead of silently eating the driver's
+    # whole bench timeout.
+    import sys
+    import threading
+
+    ready = threading.Event()
+
+    def _probe():
+        try:
+            jax.devices()
+            ready.set()
+        except Exception as e:  # pragma: no cover
+            print(f"# backend init failed: {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
+
+    threading.Thread(target=_probe, daemon=True).start()
+    if not ready.wait(timeout=600):
+        print("# FATAL: no backend after 600 s — axon TPU tunnel down?",
+              file=sys.stderr, flush=True)
+        os._exit(3)
+
     from mudg_tpu.models import mdm as M
     from mudg_tpu.nn import unet3d as U
     from mudg_tpu.nn import vae as V
