@@ -90,6 +90,9 @@ def main(argv=None):
     p.add_argument("--voxel", type=float, default=0.15)
     p.add_argument("--limit_frames", type=int, default=None)
     p.add_argument("--holdout_every", type=int, default=8)
+    p.add_argument("--sh_degree", type=int, default=0, choices=(0, 1, 2, 3),
+                   help="spherical-harmonics degree for view-dependent "
+                        "color (0 = plain RGB; 3 = full 3DGS)")
     p.add_argument("--raster_backend", default="auto",
                    choices=("auto", "pallas", "xla"),
                    help="auto = Pallas tile kernels on TPU, XLA elsewhere")
@@ -123,7 +126,7 @@ def main(argv=None):
     views_j = [
         {k: jnp.asarray(v[k]) for k in v} for v in train_views
     ]
-    cfg = GT.GSConfig(backend=args.raster_backend)
+    cfg = GT.GSConfig(backend=args.raster_backend, sh_degree=args.sh_degree)
     raster = GT._pick_raster(cfg, args.width, args.height)
     state, history = GT.fit_scene(
         g, views_j, cfg, width=args.width, height=args.height,
@@ -153,7 +156,8 @@ def main(argv=None):
     with open(os.path.join(args.out, "gaussians.pkl"), "wb") as f:
         pickle.dump(
             {k: np.asarray(getattr(state.gaussians, k))
-             for k in state.gaussians._fields}, f,
+             for k in state.gaussians._fields
+             if getattr(state.gaussians, k) is not None}, f,
         )
     print(json.dumps({k: result[k] for k in ("n_gaussians_active", "holdout_psnr_mean")}))
 

@@ -22,8 +22,12 @@ class Gaussians(NamedTuple):
     log_scales: jnp.ndarray # (N, 3)
     quats: jnp.ndarray      # (N, 4) wxyz, unnormalized
     opacity: jnp.ndarray    # (N,) logit
-    colors: jnp.ndarray     # (N, 3) rgb in [0,1] (logit-free; SH deg 0)
+    colors: jnp.ndarray     # (N, 3) rgb in [0,1] — the view-independent
+                            # (SH degree-0 / DC) component
     active: jnp.ndarray     # (N,) bool — fixed-capacity active mask
+    sh: jnp.ndarray | None = None  # (N, K, 3) rest SH coefficients for
+                            # view-dependent color (K = (deg+1)^2 - 1,
+                            # deg <= 3); None = view-independent (legacy)
 
     @property
     def n(self):
@@ -53,6 +57,63 @@ def init_from_points(xyz, rgb, capacity: int | None = None,
         colors=colors,
         active=jnp.arange(capacity) < n,
     )
+
+
+# Real spherical-harmonics constants (the 3DGS convention; INRIA
+# gaussian-splatting sh_utils.py is the de-facto reference ordering)
+_C1 = 0.4886025119029199
+_C2 = (1.0925484305920792, -1.0925484305920792, 0.31539156525252005,
+       -1.0925484305920792, 0.5462742152960396)
+_C3 = (-0.5900435899266435, 2.890611442640554, -0.4570457994644658,
+       0.3731763325901154, -0.4570457994644658, 1.445305721320277,
+       -0.5900435899266435)
+
+
+def sh_degree_from_k(k: int) -> int:
+    deg = {3: 1, 8: 2, 15: 3}.get(k)
+    assert deg is not None, f"unsupported SH coefficient count {k}"
+    return deg
+
+
+def sh_basis(dirs, deg: int):
+    """Real SH basis (rest bands 1..deg) at unit directions. (N,3)->(N,K)."""
+    assert 1 <= deg <= 3, deg
+    x, y, z = dirs[:, 0], dirs[:, 1], dirs[:, 2]
+    out = [-_C1 * y, _C1 * z, -_C1 * x]
+    if deg >= 2:
+        xx, yy, zz = x * x, y * y, z * z
+        out += [_C2[0] * x * y, _C2[1] * y * z, _C2[2] * (2 * zz - xx - yy),
+                _C2[3] * x * z, _C2[4] * (xx - yy)]
+    if deg >= 3:
+        out += [_C3[0] * y * (3 * xx - yy), _C3[1] * x * y * z,
+                _C3[2] * y * (4 * zz - xx - yy),
+                _C3[3] * z * (2 * zz - 3 * xx - 3 * yy),
+                _C3[4] * x * (4 * zz - xx - yy), _C3[5] * z * (xx - yy),
+                _C3[6] * x * (xx - 3 * yy)]
+    return jnp.stack(out, -1)
+
+
+def view_colors(g: Gaussians, w2c):
+    """Per-gaussian color for the camera at w2c: the stored DC color plus
+    the SH rest bands evaluated at the camera->gaussian direction, clamped
+    at 0 (the 3DGS clamp_min convention). g.sh=None returns g.colors
+    unchanged — bit-identical to the view-independent path."""
+    if g.sh is None:
+        return g.colors
+    R, t = w2c[:3, :3], w2c[:3, 3]
+    cam_pos = -R.T @ t
+    d = g.means - cam_pos
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True).clip(1e-8)
+    basis = sh_basis(d, sh_degree_from_k(g.sh.shape[1]))  # (N, K)
+    return jnp.maximum(g.colors + jnp.einsum("nk,nkc->nc", basis, g.sh), 0.0)
+
+
+def with_sh(g: Gaussians, deg: int) -> Gaussians:
+    """Attach zero-initialized rest-band SH coefficients (view-dependent
+    color starts at the stored DC color, exactly the prior rendering)."""
+    assert 1 <= deg <= 3, deg
+    k = (deg + 1) ** 2 - 1
+    return g._replace(sh=jnp.zeros((g.n, k, 3), jnp.float32))
 
 
 def quat_to_rotmat(q):

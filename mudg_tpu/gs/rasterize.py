@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from .gaussians import (Gaussians, Projected, project_gaussians,
-                        QMAX_CULL_EPS, rect_qmin as G_rect_qmin)
+                        QMAX_CULL_EPS, rect_qmin as G_rect_qmin, view_colors)
 
 TILE = 16
 ALPHA_MIN = 1.0 / 255.0
@@ -146,7 +146,7 @@ def rasterize(
     means2d = proj.means2d
     conics = proj.conics
     opac = proj.opacities
-    colors = g.colors
+    colors = view_colors(g, w2c)  # per-gaussian SH view-dependent color
     depths = proj.depths
 
     def body(carry, k_slot):

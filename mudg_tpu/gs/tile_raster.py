@@ -35,7 +35,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .gaussians import (Gaussians, project_gaussians, ellipse_row_xrange,
-                        QMAX_CULL_EPS)
+                        QMAX_CULL_EPS, view_colors)
 from .rasterize import RasterOut, TILE, ALPHA_MIN, T_MIN, _tile_grid
 
 NPIX = TILE * TILE  # 256
@@ -538,8 +538,8 @@ def rasterize_pallas(
     n_tiles = tw * th
     proj = project_gaussians(g, K, w2c, width=width, height=height)
     feats, bounds, n_dropped = build_pairs(
-        proj, g.colors, width=width, height=height, max_pairs=max_pairs,
-        max_rows=max_rows)
+        proj, view_colors(g, w2c), width=width, height=height,
+        max_pairs=max_pairs, max_rows=max_rows)
     out = composite_tiles(feats, bounds, n_tiles, tw)
 
     color = out[:, 0:3, :].transpose(0, 2, 1)   # (n_tiles, NPIX, 3)

@@ -30,6 +30,11 @@ class GSConfig:
     lr_quats: float = 1e-3
     lr_opacity: float = 0.05
     lr_colors: float = 2.5e-3
+    lr_sh: float = 1.25e-4           # 3DGS convention: feature lr / 20
+    sh_degree: int = 0               # 0 = view-independent color (legacy);
+                                     # 1..3 adds rest-band SH coefficients
+                                     # (gaussians.view_colors) for
+                                     # view-dependent effects
     ssim_weight: float = 0.2
     depth_weight: float = 0.1
     densify_every: int = 100
@@ -84,29 +89,34 @@ class GSTrainState(NamedTuple):
 
 
 def _float_fields(g: Gaussians) -> dict:
-    return {"means": g.means, "log_scales": g.log_scales, "quats": g.quats,
-            "opacity": g.opacity, "colors": g.colors}
+    f = {"means": g.means, "log_scales": g.log_scales, "quats": g.quats,
+         "opacity": g.opacity, "colors": g.colors}
+    if g.sh is not None:
+        f["sh"] = g.sh
+    return f
 
 
 def _with_floats(g: Gaussians, f: dict) -> Gaussians:
     return Gaussians(means=f["means"], log_scales=f["log_scales"],
                      quats=f["quats"], opacity=f["opacity"],
-                     colors=f["colors"], active=g.active)
+                     colors=f["colors"], active=g.active, sh=f.get("sh"))
 
 
 def make_gs_optimizer(cfg: GSConfig):
     """Per-field Adam via optax.multi_transform over the trainable fields
-    (the boolean active mask is not a parameter)."""
-    labels = {"means": "means", "log_scales": "scales", "quats": "quats",
-              "opacity": "opacity", "colors": "colors"}
+    (the boolean active mask is not a parameter). Labels are computed from
+    the param dict so the optional 'sh' field joins automatically."""
+    names = {"means": "means", "log_scales": "scales", "quats": "quats",
+             "opacity": "opacity", "colors": "colors", "sh": "sh"}
     tx = {
         "means": optax.adam(cfg.lr_means),
         "scales": optax.adam(cfg.lr_scales),
         "quats": optax.adam(cfg.lr_quats),
         "opacity": optax.adam(cfg.lr_opacity),
         "colors": optax.adam(cfg.lr_colors),
+        "sh": optax.adam(cfg.lr_sh),
     }
-    return optax.multi_transform(tx, labels)
+    return optax.multi_transform(tx, lambda params: {k: names[k] for k in params})
 
 
 def init_state(g: Gaussians, cfg: GSConfig) -> GSTrainState:
@@ -197,6 +207,7 @@ def densify_and_prune(state: GSTrainState, cfg: GSConfig) -> GSTrainState:
     quats = np.asarray(g.quats).copy()
     opa = np.asarray(g.opacity).copy()
     colors = np.asarray(g.colors).copy()
+    sh = None if g.sh is None else np.asarray(g.sh).copy()
 
     # prune
     prune = active & (opacity < cfg.prune_opacity_thresh)
@@ -218,6 +229,8 @@ def densify_and_prune(state: GSTrainState, cfg: GSConfig) -> GSTrainState:
         quats[dst] = quats[src]
         opa[dst] = opa[src]
         colors[dst] = colors[src]
+        if sh is not None:
+            sh[dst] = sh[src]
         active[dst] = True
     for src in split_src:
         if fi >= len(free):
@@ -231,12 +244,15 @@ def densify_and_prune(state: GSTrainState, cfg: GSConfig) -> GSTrainState:
         quats[dst] = quats[src]
         opa[dst] = opa[src]
         colors[dst] = colors[src]
+        if sh is not None:
+            sh[dst] = sh[src]
         active[dst] = True
 
     new_g = Gaussians(
         means=jnp.asarray(means), log_scales=jnp.asarray(log_scales),
         quats=jnp.asarray(quats), opacity=jnp.asarray(opa),
         colors=jnp.asarray(colors), active=jnp.asarray(active),
+        sh=None if sh is None else jnp.asarray(sh),
     )
     opt = make_gs_optimizer(cfg)
     return GSTrainState(
@@ -253,6 +269,10 @@ def fit_scene(gaussians: Gaussians, views: list[dict], cfg: GSConfig,
               log_every: int = 100, seed: int = 0):
     """views: list of dicts with K, w2c, rgb (H,W,3 [0,1]),
     optional depth (H,W) + depth_mask. Returns trained state + history."""
+    if cfg.sh_degree > 0 and gaussians.sh is None:
+        from .gaussians import with_sh
+
+        gaussians = with_sh(gaussians, cfg.sh_degree)
     state = init_state(gaussians, cfg)
     step_fn = make_gs_train_step(cfg, width=width, height=height)
     rng = np.random.default_rng(seed)

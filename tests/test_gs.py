@@ -260,3 +260,75 @@ def test_densify_prune_cycle():
     st = st._replace(grad_accum=jnp.ones((32,)), grad_count=jnp.ones((32,)))
     st2 = GT.densify_and_prune(st, cfg2)
     assert int(st2.gaussians.active.sum()) == 20  # 10 originals + 10 clones
+
+
+def test_sh_basis_known_values():
+    """Band values at canonical directions match the 3DGS constants."""
+    d = jnp.array([[0.0, 0.0, 1.0]])
+    b = np.asarray(G.sh_basis(d, 3))[0]
+    np.testing.assert_allclose(b[1], 0.4886025119029199, rtol=1e-6)   # C1*z
+    assert b[0] == 0 and b[2] == 0                                    # x=y=0
+    np.testing.assert_allclose(b[5], 0.31539156525252005 * 2, rtol=1e-6)
+    np.testing.assert_allclose(b[11], 0.3731763325901154 * 2, rtol=1e-6)
+    assert G.sh_basis(d, 1).shape == (1, 3)
+    assert G.sh_basis(d, 2).shape == (1, 8)
+    assert G.sh_basis(d, 3).shape == (1, 15)
+
+
+def test_sh_view_dependent_render():
+    """Nonzero rest-band SH makes the rendered color depend on the camera
+    position; zero SH is bit-identical to the sh=None render."""
+    K, w2c = _cam()
+    g = G.with_sh(_one_gaussian(color=(0.5, 0.5, 0.5)), 1)
+
+    base = rasterize(_one_gaussian(color=(0.5, 0.5, 0.5)), K, w2c,
+                     width=32, height=32).color
+    zero = rasterize(g, K, w2c, width=32, height=32).color
+    np.testing.assert_array_equal(np.asarray(zero), np.asarray(base))
+
+    # red channel rises along the -x view direction (basis[2] = -C1*x)
+    g = g._replace(sh=g.sh.at[0, 2, 0].set(0.5))
+    w2c_left = jnp.eye(4, dtype=jnp.float32).at[0, 3].set(2.0)   # cam at x=-2
+    c_front = rasterize(g, K, w2c, width=32, height=32).color
+    c_left = rasterize(g, K, w2c_left, width=32, height=32).color
+    assert not np.allclose(np.asarray(c_front), np.asarray(c_left))
+    # view_colors directly: the direction flips the sign of the x band
+    col_a = np.asarray(G.view_colors(g, w2c))[0]
+    col_b = np.asarray(G.view_colors(g, w2c_left))[0]
+    assert abs(col_a[0] - col_b[0]) > 0.05
+    np.testing.assert_allclose(col_a[1:], col_b[1:], atol=1e-6)
+
+
+def test_sh_gradients_flow_and_training():
+    """d(loss)/d(sh) is nonzero, and a few sh_degree>0 optimization steps
+    reduce the loss (the sh field rides the optimizer + densify plumbing)."""
+    from mudg_tpu.gs import train as GT
+
+    K, w2c = _cam()
+    g_true = _one_gaussian(color=(0.9, 0.2, 0.1))
+    target = rasterize(g_true, K, w2c, width=32, height=32).color
+    g0 = _one_gaussian(color=(0.2, 0.8, 0.9))
+
+    cfg = GT.GSConfig(densify_every=10_000, lr_colors=5e-2, lr_sh=5e-2,
+                      sh_degree=2)
+    zeros = jnp.zeros((32, 32), jnp.float32)
+    views = [{"K": K, "w2c": w2c, "rgb": target}]
+    state, history = GT.fit_scene(g0, views, cfg, width=32, height=32,
+                                  steps=25, log_every=5)
+    assert state.gaussians.sh is not None
+    assert state.gaussians.sh.shape == (1, 8, 3)
+    assert history[-1]["loss"] < history[0]["loss"]
+    # the sh coefficients actually moved (gradients flowed)
+    assert float(jnp.abs(state.gaussians.sh).max()) > 0
+
+    # densify copies sh rows alongside the other fields
+    cfg2 = GT.GSConfig(prune_opacity_thresh=1e-4, densify_grad_thresh=1e-9,
+                       split_scale_thresh=1e9, sh_degree=2)
+    xyz = jnp.zeros((1, 3), jnp.float32)
+    g2 = G.with_sh(G.init_from_points(xyz, jnp.full((1, 3), 0.5), capacity=4), 2)
+    g2 = g2._replace(sh=g2.sh.at[0].set(0.25))
+    st = GT.init_state(g2, cfg2)._replace(
+        grad_accum=jnp.ones((4,)), grad_count=jnp.ones((4,)))
+    st2 = GT.densify_and_prune(st, cfg2)
+    assert int(st2.gaussians.active.sum()) == 2
+    np.testing.assert_allclose(np.asarray(st2.gaussians.sh[1]), 0.25)
