@@ -65,6 +65,7 @@ def load_views(scene: str, supervision: str | None, cam: str, resolution,
             "K": K,
             "w2c": np.linalg.inv(c2w).astype(np.float32),
             "rgb": img.astype(np.float32) / 255.0,
+            "frame": i,
         }
         dpath = os.path.join(supervision or "", "virtual_depth", f"depth_re_{i}.npy")
         if supervision and os.path.exists(dpath):
@@ -93,6 +94,11 @@ def main(argv=None):
     p.add_argument("--sh_degree", type=int, default=0, choices=(0, 1, 2, 3),
                    help="spherical-harmonics degree for view-dependent "
                         "color (0 = plain RGB; 3 = full 3DGS)")
+    p.add_argument("--dynamic", action="store_true",
+                   help="StreetGaussians-style dynamic scene: per-object "
+                        "gaussian groups seeded from objects_info.pkl "
+                        "canonical clouds, rigidly moved per frame by the "
+                        "tracked box poses (gaussians.apply_group_transforms)")
     p.add_argument("--raster_backend", default="auto",
                    choices=("auto", "pallas", "xla"),
                    help="auto = Pallas tile kernels on TPU, XLA elsewhere")
@@ -109,14 +115,51 @@ def main(argv=None):
     if len(xyz) > args.capacity // 2:
         xyz, rgb = native.voxel_downsample(xyz, rgb, args.voxel)
     n0 = min(len(xyz), args.capacity)
+    xyz, rgb = xyz[:n0], rgb[:n0]
+    grp = obj_info = None
+    if args.dynamic:
+        with open(os.path.join(args.scene, "objects_info.pkl"), "rb") as f:
+            obj_info = pickle.load(f)
+        obj_info = [o for o in obj_info if len(o["point_cloud"]["points"])]
+        xs, cs, gi = [xyz], [rgb], [np.zeros(n0, np.int32)]
+        for j, o in enumerate(obj_info):
+            pts = np.asarray(o["point_cloud"]["points"], np.float32)
+            xs.append(pts)
+            cs.append(np.asarray(o["point_cloud"]["colors"], np.float32))
+            gi.append(np.full(len(pts), j + 1, np.int32))
+        xyz = np.concatenate(xs)[:args.capacity]
+        rgb = np.concatenate(cs)[:args.capacity]
+        grp = np.concatenate(gi)[:args.capacity]
+        n0 = len(xyz)
     g = G.init_from_points(
-        jnp.asarray(xyz[:n0]), jnp.asarray(rgb[:n0]), capacity=args.capacity
+        jnp.asarray(xyz), jnp.asarray(rgb), capacity=args.capacity
     )
+    if grp is not None:
+        pad = np.zeros(args.capacity, np.int32)
+        pad[:n0] = grp
+        g = g._replace(group=jnp.asarray(pad))
+        print(f"dynamic: {len(obj_info)} tracked objects as rigid groups")
     print(f"init: {n0} gaussians (capacity {args.capacity})")
 
     views = load_views(args.scene, args.supervision, args.camera,
                        (args.height, args.width), limit=args.limit_frames)
     assert views, "no training views found"
+    if args.dynamic:
+        # per-frame canonical->world transform + visibility per rigid group
+        # (row 0 = static background)
+        n_frames = max(v["frame"] for v in views) + 1
+        n_groups = 1 + len(obj_info)
+        T_tab = np.tile(np.eye(4, dtype=np.float32), (n_frames, n_groups, 1, 1))
+        vis_tab = np.ones((n_frames, n_groups), bool)
+        for j, o in enumerate(obj_info):
+            for f_i in range(min(n_frames, len(o["transform_obj"]))):
+                T_tab[f_i, j + 1] = np.asarray(o["transform_obj"][f_i], np.float32)
+                vis_tab[f_i, j + 1] = bool(np.asarray(o["visibility"])[f_i])
+        for v in views:
+            v["obj_T"] = T_tab[v["frame"]]
+            v["obj_vis"] = vis_tab[v["frame"]]
+    for v in views:
+        v.pop("frame")
     train_views = [v for i, v in enumerate(views) if i % args.holdout_every != 0]
     hold_views = [v for i, v in enumerate(views) if i % args.holdout_every == 0]
     if not train_views:
@@ -138,8 +181,12 @@ def main(argv=None):
     os.makedirs(rdir, exist_ok=True)
     psnrs = []
     for i, v in enumerate(hold_views or train_views[:4]):
+        gv = state.gaussians
+        if "obj_T" in v:
+            gv = G.apply_group_transforms(
+                gv, jnp.asarray(v["obj_T"]), jnp.asarray(v["obj_vis"]))
         out = raster(
-            state.gaussians, jnp.asarray(v["K"]), jnp.asarray(v["w2c"]),
+            gv, jnp.asarray(v["K"]), jnp.asarray(v["w2c"]),
         )
         img = np.asarray(out.color)
         media.save_image(os.path.join(rdir, f"nv_{i:04d}.png"),

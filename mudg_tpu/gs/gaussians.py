@@ -28,6 +28,12 @@ class Gaussians(NamedTuple):
     sh: jnp.ndarray | None = None  # (N, K, 3) rest SH coefficients for
                             # view-dependent color (K = (deg+1)^2 - 1,
                             # deg <= 3); None = view-independent (legacy)
+    group: jnp.ndarray | None = None  # (N,) int32 rigid-group id for dynamic
+                            # scenes (StreetGaussians-style): 0 = static
+                            # background, i>0 = tracked object i, whose
+                            # means/quats are stored in the object's
+                            # CANONICAL (box) frame and moved per frame by
+                            # apply_group_transforms. None = fully static.
 
     @property
     def n(self):
@@ -106,6 +112,54 @@ def view_colors(g: Gaussians, w2c):
     d = d / jnp.linalg.norm(d, axis=-1, keepdims=True).clip(1e-8)
     basis = sh_basis(d, sh_degree_from_k(g.sh.shape[1]))  # (N, K)
     return jnp.maximum(g.colors + jnp.einsum("nk,nkc->nc", basis, g.sh), 0.0)
+
+
+def quat_mul(a, b):
+    """Hamilton product of wxyz quaternions, broadcasting leading dims."""
+    aw, ax, ay, az = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
+    bw, bx, by, bz = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+    return jnp.stack([
+        aw * bw - ax * bx - ay * by - az * bz,
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by - ax * bz + ay * bw + az * bx,
+        aw * bz + ax * by - ay * bx + az * bw,
+    ], -1)
+
+
+def rotmat_to_quat(R):
+    """(..., 3, 3) -> (..., 4) wxyz, branchless (component magnitudes from
+    the diagonal, signs from the off-diagonal antisymmetric part — exact for
+    w > 0, which holds for tracked-box poses away from 180-degree flips;
+    normalized at use by quat_to_rotmat anyway)."""
+    r00, r11, r22 = R[..., 0, 0], R[..., 1, 1], R[..., 2, 2]
+    w = jnp.sqrt(jnp.maximum(1 + r00 + r11 + r22, 0.0)) / 2
+    x = jnp.sqrt(jnp.maximum(1 + r00 - r11 - r22, 0.0)) / 2
+    y = jnp.sqrt(jnp.maximum(1 - r00 + r11 - r22, 0.0)) / 2
+    z = jnp.sqrt(jnp.maximum(1 - r00 - r11 + r22, 0.0)) / 2
+    x = jnp.copysign(x, R[..., 2, 1] - R[..., 1, 2])
+    y = jnp.copysign(y, R[..., 0, 2] - R[..., 2, 0])
+    z = jnp.copysign(z, R[..., 1, 0] - R[..., 0, 1])
+    return jnp.stack([w, x, y, z], -1)
+
+
+def apply_group_transforms(g: Gaussians, T, vis=None) -> Gaussians:
+    """Move each rigid group's gaussians from their canonical frame into the
+    current frame's world pose: T (G, 4, 4) canonical->world per group
+    (row 0 = identity for the static background), vis (G,) bool visibility.
+    Differentiable wrt the canonical means/quats (the transforms are data).
+    g.group=None returns g unchanged (static scene)."""
+    if g.group is None:
+        return g
+    T = jnp.asarray(T, jnp.float32)
+    R = T[:, :3, :3]
+    t = T[:, :3, 3]
+    qT = rotmat_to_quat(R)                       # (G, 4)
+    means = jnp.einsum("nij,nj->ni", R[g.group], g.means) + t[g.group]
+    quats = quat_mul(qT[g.group], g.quats)
+    active = g.active
+    if vis is not None:
+        active = active & jnp.asarray(vis).astype(bool)[g.group]
+    return g._replace(means=means, quats=quats, active=active)
 
 
 def with_sh(g: Gaussians, deg: int) -> Gaussians:

@@ -99,7 +99,8 @@ def _float_fields(g: Gaussians) -> dict:
 def _with_floats(g: Gaussians, f: dict) -> Gaussians:
     return Gaussians(means=f["means"], log_scales=f["log_scales"],
                      quats=f["quats"], opacity=f["opacity"],
-                     colors=f["colors"], active=g.active, sh=f.get("sh"))
+                     colors=f["colors"], active=g.active, sh=f.get("sh"),
+                     group=g.group)
 
 
 def make_gs_optimizer(cfg: GSConfig):
@@ -147,8 +148,15 @@ def make_gs_train_step(cfg: GSConfig, *, width: int, height: int):
     opt = make_gs_optimizer(cfg)
     raster = _pick_raster(cfg, width, height)
 
-    def loss_fn(floats, active, K, w2c, target_rgb, target_depth, depth_mask):
-        g = _with_floats(Gaussians(None, None, None, None, None, active), floats)
+    def loss_fn(floats, active, group, obj_T, obj_vis, K, w2c, target_rgb,
+                target_depth, depth_mask):
+        g = _with_floats(
+            Gaussians(None, None, None, None, None, active, group=group),
+            floats)
+        if obj_T is not None:
+            from .gaussians import apply_group_transforms
+
+            g = apply_group_transforms(g, obj_T, obj_vis)
         out = raster(g, K, w2c)
         l1 = jnp.mean(jnp.abs(out.color - target_rgb))
         loss = (1 - cfg.ssim_weight) * l1 + cfg.ssim_weight * (
@@ -163,11 +171,12 @@ def make_gs_train_step(cfg: GSConfig, *, width: int, height: int):
         return loss, out
 
     @jax.jit
-    def step(state: GSTrainState, K, w2c, target_rgb, target_depth, depth_mask):
+    def step(state: GSTrainState, K, w2c, target_rgb, target_depth,
+             depth_mask, obj_T=None, obj_vis=None):
         floats = _float_fields(state.gaussians)
         (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            floats, state.gaussians.active, K, w2c, target_rgb, target_depth,
-            depth_mask,
+            floats, state.gaussians.active, state.gaussians.group,
+            obj_T, obj_vis, K, w2c, target_rgb, target_depth, depth_mask,
         )
         updates, opt_state = opt.update(grads, state.opt_state, floats)
         g = _with_floats(state.gaussians, optax.apply_updates(floats, updates))
@@ -208,6 +217,7 @@ def densify_and_prune(state: GSTrainState, cfg: GSConfig) -> GSTrainState:
     opa = np.asarray(g.opacity).copy()
     colors = np.asarray(g.colors).copy()
     sh = None if g.sh is None else np.asarray(g.sh).copy()
+    group = None if g.group is None else np.asarray(g.group).copy()
 
     # prune
     prune = active & (opacity < cfg.prune_opacity_thresh)
@@ -231,6 +241,8 @@ def densify_and_prune(state: GSTrainState, cfg: GSConfig) -> GSTrainState:
         colors[dst] = colors[src]
         if sh is not None:
             sh[dst] = sh[src]
+        if group is not None:
+            group[dst] = group[src]
         active[dst] = True
     for src in split_src:
         if fi >= len(free):
@@ -246,6 +258,8 @@ def densify_and_prune(state: GSTrainState, cfg: GSConfig) -> GSTrainState:
         colors[dst] = colors[src]
         if sh is not None:
             sh[dst] = sh[src]
+        if group is not None:
+            group[dst] = group[src]
         active[dst] = True
 
     new_g = Gaussians(
@@ -253,6 +267,7 @@ def densify_and_prune(state: GSTrainState, cfg: GSConfig) -> GSTrainState:
         quats=jnp.asarray(quats), opacity=jnp.asarray(opa),
         colors=jnp.asarray(colors), active=jnp.asarray(active),
         sh=None if sh is None else jnp.asarray(sh),
+        group=None if group is None else jnp.asarray(group),
     )
     opt = make_gs_optimizer(cfg)
     return GSTrainState(
@@ -285,7 +300,8 @@ def fit_scene(gaussians: Gaussians, views: list[dict], cfg: GSConfig,
             td = jnp.zeros((height, width), jnp.float32)
             tm = jnp.zeros((height, width), jnp.float32)
         state, metrics = step_fn(
-            state, v["K"], v["w2c"], v["rgb"], td, tm
+            state, v["K"], v["w2c"], v["rgb"], td, tm,
+            v.get("obj_T"), v.get("obj_vis"),
         )
         if (i + 1) % cfg.densify_every == 0:
             state = densify_and_prune(state, cfg)
