@@ -26,9 +26,12 @@ import numpy as np
 
 
 def load_views(scene: str, supervision: str | None, cam: str, resolution,
-               limit: int | None = None):
-    """Build training views: K, w2c, rgb target (+ optional depth)."""
+               limit: int | None = None, semantic: bool = False):
+    """Build training views: K, w2c, rgb target (+ optional depth and
+    semantic class-id maps)."""
     import cv2
+
+    from ..utils import media
 
     with open(os.path.join(scene, "scenario.pt"), "rb") as f:
         data = pickle.load(f)
@@ -73,6 +76,23 @@ def load_views(scene: str, supervision: str | None, cam: str, resolution,
             d = cv2.resize(d, (w, h), interpolation=cv2.INTER_NEAREST)
             view["depth"] = d.astype(np.float32)
             view["depth_mask"] = (d > 0).astype(np.float32)
+        if semantic:
+            # MDM-generated semantics first, else the scene's SegFormer maps
+            spath = None
+            for cand in (
+                os.path.join(supervision or "", "virtual_semantic",
+                             f"semantic_re_{i}.png"),
+                os.path.join(scene, "semantic_dense", cam, f"{i:08d}.jpg"),
+            ):
+                if os.path.exists(cand):
+                    spath = cand
+                    break
+            if spath is not None:
+                sem_img = cv2.cvtColor(cv2.imread(spath), cv2.COLOR_BGR2RGB)
+                sem_img = cv2.resize(sem_img, (w, h),
+                                     interpolation=cv2.INTER_NEAREST)
+                _, ids = media.decode_semantic(sem_img)
+                view["sem_ids"] = ids.astype(np.int32)
         views.append(view)
     return views
 
@@ -94,6 +114,12 @@ def main(argv=None):
     p.add_argument("--sh_degree", type=int, default=0, choices=(0, 1, 2, 3),
                    help="spherical-harmonics degree for view-dependent "
                         "color (0 = plain RGB; 3 = full 3DGS)")
+    p.add_argument("--semantic", action="store_true",
+                   help="train a per-gaussian semantic field against the "
+                        "MDM-generated (or SegFormer) class maps and report "
+                        "holdout pixel accuracy (StreetGaussians-style; "
+                        "forces the XLA rasterizer)")
+    p.add_argument("--semantic_weight", type=float, default=0.5)
     p.add_argument("--dynamic", action="store_true",
                    help="StreetGaussians-style dynamic scene: per-object "
                         "gaussian groups seeded from objects_info.pkl "
@@ -104,6 +130,7 @@ def main(argv=None):
                    help="auto = Pallas tile kernels on TPU, XLA elsewhere")
     args = p.parse_args(argv)
 
+    import jax
     import jax.numpy as jnp
 
     from ..gs import gaussians as G
@@ -142,8 +169,12 @@ def main(argv=None):
     print(f"init: {n0} gaussians (capacity {args.capacity})")
 
     views = load_views(args.scene, args.supervision, args.camera,
-                       (args.height, args.width), limit=args.limit_frames)
+                       (args.height, args.width), limit=args.limit_frames,
+                       semantic=args.semantic)
     assert views, "no training views found"
+    if args.semantic:
+        assert any("sem_ids" in v for v in views), \
+            "--semantic: no semantic maps found (supervision dir or scene)"
     if args.dynamic:
         # per-frame canonical->world transform + visibility per rigid group
         # (row 0 = static background)
@@ -169,7 +200,9 @@ def main(argv=None):
     views_j = [
         {k: jnp.asarray(v[k]) for k in v} for v in train_views
     ]
-    cfg = GT.GSConfig(backend=args.raster_backend, sh_degree=args.sh_degree)
+    cfg = GT.GSConfig(backend=args.raster_backend, sh_degree=args.sh_degree,
+                      semantic_weight=args.semantic_weight if args.semantic
+                      else 0.0)
     raster = GT._pick_raster(cfg, args.width, args.height)
     state, history = GT.fit_scene(
         g, views_j, cfg, width=args.width, height=args.height,
@@ -179,23 +212,35 @@ def main(argv=None):
     os.makedirs(args.out, exist_ok=True)
     rdir = os.path.join(args.out, "renders")
     os.makedirs(rdir, exist_ok=True)
-    psnrs = []
+    psnrs, sem_accs = [], []
     for i, v in enumerate(hold_views or train_views[:4]):
         gv = state.gaussians
         if "obj_T" in v:
             gv = G.apply_group_transforms(
                 gv, jnp.asarray(v["obj_T"]), jnp.asarray(v["obj_vis"]))
-        out = raster(
-            gv, jnp.asarray(v["K"]), jnp.asarray(v["w2c"]),
-        )
+        if gv.sem is not None:
+            out = raster(gv, jnp.asarray(v["K"]), jnp.asarray(v["w2c"]),
+                         features=jax.nn.softmax(gv.sem, -1))
+        else:
+            out = raster(gv, jnp.asarray(v["K"]), jnp.asarray(v["w2c"]))
         img = np.asarray(out.color)
         media.save_image(os.path.join(rdir, f"nv_{i:04d}.png"),
                          (np.clip(img, 0, 1) * 255).astype(np.uint8))
         psnrs.append(metrics.psnr(img, v["rgb"], data_range=1.0))
+        if out.features is not None and "sem_ids" in v:
+            pred = np.asarray(jnp.argmax(out.features, -1))
+            covered = np.asarray(out.alpha) > 0.5
+            if covered.any():
+                sem_accs.append(
+                    float((pred[covered] == v["sem_ids"][covered]).mean()))
+            media.save_image(
+                os.path.join(rdir, f"sem_{i:04d}.png"),
+                media.encode_semantic(pred).astype(np.uint8))
 
     result = {
         "n_gaussians_active": int(np.asarray(state.gaussians.active).sum()),
         "holdout_psnr_mean": float(np.mean(psnrs)) if psnrs else None,
+        "holdout_semantic_acc": float(np.mean(sem_accs)) if sem_accs else None,
         "history": history,
     }
     with open(os.path.join(args.out, "metrics.json"), "w") as f:

@@ -28,6 +28,11 @@ class Gaussians(NamedTuple):
     sh: jnp.ndarray | None = None  # (N, K, 3) rest SH coefficients for
                             # view-dependent color (K = (deg+1)^2 - 1,
                             # deg <= 3); None = view-independent (legacy)
+    sem: jnp.ndarray | None = None  # (N, S) semantic class logits for
+                            # StreetGaussians-style semantic rendering
+                            # (softmaxed + alpha-composited via the
+                            # rasterizer's `features` channel); None = no
+                            # semantic field
     group: jnp.ndarray | None = None  # (N,) int32 rigid-group id for dynamic
                             # scenes (StreetGaussians-style): 0 = static
                             # background, i>0 = tracked object i, whose
@@ -160,6 +165,11 @@ def apply_group_transforms(g: Gaussians, T, vis=None) -> Gaussians:
     if vis is not None:
         active = active & jnp.asarray(vis).astype(bool)[g.group]
     return g._replace(means=means, quats=quats, active=active)
+
+
+def with_sem(g: Gaussians, n_classes: int) -> Gaussians:
+    """Attach zero-initialized semantic logits (uniform class prior)."""
+    return g._replace(sem=jnp.zeros((g.n, n_classes), jnp.float32))
 
 
 def with_sh(g: Gaussians, deg: int) -> Gaussians:

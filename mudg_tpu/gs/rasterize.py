@@ -40,6 +40,10 @@ class RasterOut(NamedTuple):
     depth: jnp.ndarray   # (H, W) alpha-weighted expected depth
     alpha: jnp.ndarray   # (H, W) accumulated opacity
     n_dropped: jnp.ndarray  # scalar: gaussian-tile pairs beyond capacity
+    features: jnp.ndarray | None = None  # (H, W, C) alpha-composited extra
+                         # per-gaussian features (XLA path only — e.g. the
+                         # semantic class distributions of refine-gs
+                         # --semantic); None unless `features` was passed
 
 
 def _tile_grid(width, height):
@@ -62,7 +66,12 @@ def rasterize(
     max_per_tile: int = 256,
     tiles_per_gaussian: int = 16,
     bg_color=(0.0, 0.0, 0.0),
+    features=None,
 ):
+    """features: optional (N, C) per-gaussian vectors alpha-composited
+    alongside the color (same weights, shared transmittance walk); returned
+    as RasterOut.features (H, W, C). Used for semantic class distributions
+    (StreetGaussians-style semantic rendering)."""
     proj = project_gaussians(g, K, w2c, width=width, height=height)
     tw, th = _tile_grid(width, height)
     n_tiles = tw * th
@@ -147,6 +156,10 @@ def rasterize(
     conics = proj.conics
     opac = proj.opacities
     colors = view_colors(g, w2c)  # per-gaussian SH view-dependent color
+    n_chan = 3
+    if features is not None:
+        n_chan = 3 + features.shape[-1]
+        colors = jnp.concatenate([colors, features], -1)
     depths = proj.depths
 
     def body(carry, k_slot):
@@ -170,7 +183,7 @@ def rasterize(
         trans = trans * (1.0 - alpha)
         return (color_acc, depth_acc, trans), None
 
-    c0 = jnp.zeros((n_tiles, TILE * TILE, 3), jnp.float32)
+    c0 = jnp.zeros((n_tiles, TILE * TILE, n_chan), jnp.float32)
     d0 = jnp.zeros((n_tiles, TILE * TILE), jnp.float32)
     t0 = jnp.ones((n_tiles, TILE * TILE), jnp.float32)
     (color, depth, trans), _ = jax.lax.scan(
@@ -178,6 +191,8 @@ def rasterize(
     )
 
     alpha_img = 1.0 - trans
+    feat = color[..., 3:] if features is not None else None
+    color = color[..., :3]
     bg = jnp.asarray(bg_color, jnp.float32)
     color = color + trans[..., None] * bg
 
@@ -197,4 +212,5 @@ def rasterize(
         depth=untile(depth),
         alpha=untile(alpha_img),
         n_dropped=n_dropped,
+        features=None if feat is None else untile(feat),
     )

@@ -37,6 +37,12 @@ class GSConfig:
                                      # view-dependent effects
     ssim_weight: float = 0.2
     depth_weight: float = 0.1
+    semantic_weight: float = 0.0     # >0 trains a per-gaussian semantic
+                                     # field (Gaussians.sem logits) against
+                                     # per-view class-id maps; forces the
+                                     # XLA rasterizer (features channel)
+    semantic_classes: int = 19       # cityscapes train ids (SegFormer)
+    lr_sem: float = 2.5e-3
     densify_every: int = 100
     densify_grad_thresh: float = 2e-4
     prune_opacity_thresh: float = 0.005
@@ -93,6 +99,8 @@ def _float_fields(g: Gaussians) -> dict:
          "opacity": g.opacity, "colors": g.colors}
     if g.sh is not None:
         f["sh"] = g.sh
+    if g.sem is not None:
+        f["sem"] = g.sem
     return f
 
 
@@ -100,7 +108,7 @@ def _with_floats(g: Gaussians, f: dict) -> Gaussians:
     return Gaussians(means=f["means"], log_scales=f["log_scales"],
                      quats=f["quats"], opacity=f["opacity"],
                      colors=f["colors"], active=g.active, sh=f.get("sh"),
-                     group=g.group)
+                     sem=f.get("sem"), group=g.group)
 
 
 def make_gs_optimizer(cfg: GSConfig):
@@ -108,7 +116,8 @@ def make_gs_optimizer(cfg: GSConfig):
     (the boolean active mask is not a parameter). Labels are computed from
     the param dict so the optional 'sh' field joins automatically."""
     names = {"means": "means", "log_scales": "scales", "quats": "quats",
-             "opacity": "opacity", "colors": "colors", "sh": "sh"}
+             "opacity": "opacity", "colors": "colors", "sh": "sh",
+             "sem": "sem"}
     tx = {
         "means": optax.adam(cfg.lr_means),
         "scales": optax.adam(cfg.lr_scales),
@@ -116,6 +125,7 @@ def make_gs_optimizer(cfg: GSConfig):
         "opacity": optax.adam(cfg.lr_opacity),
         "colors": optax.adam(cfg.lr_colors),
         "sh": optax.adam(cfg.lr_sh),
+        "sem": optax.adam(cfg.lr_sem),
     }
     return optax.multi_transform(tx, lambda params: {k: names[k] for k in params})
 
@@ -135,6 +145,10 @@ def _pick_raster(cfg: GSConfig, width: int, height: int):
     use_pallas = cfg.backend == "pallas" or (
         cfg.backend == "auto" and jax.default_backend() == "tpu"
     )
+    # semantic rendering needs the `features` compositing channel, which only
+    # the XLA path implements (the Pallas kernels' feature pack is fixed)
+    if cfg.semantic_weight > 0:
+        use_pallas = False
     if use_pallas:
         return partial(rasterize_pallas, width=width, height=height,
                        max_pairs=cfg.max_pairs)
@@ -149,7 +163,7 @@ def make_gs_train_step(cfg: GSConfig, *, width: int, height: int):
     raster = _pick_raster(cfg, width, height)
 
     def loss_fn(floats, active, group, obj_T, obj_vis, K, w2c, target_rgb,
-                target_depth, depth_mask):
+                target_depth, depth_mask, sem_ids):
         g = _with_floats(
             Gaussians(None, None, None, None, None, active, group=group),
             floats)
@@ -157,7 +171,11 @@ def make_gs_train_step(cfg: GSConfig, *, width: int, height: int):
             from .gaussians import apply_group_transforms
 
             g = apply_group_transforms(g, obj_T, obj_vis)
-        out = raster(g, K, w2c)
+        semantic = g.sem is not None and sem_ids is not None
+        if semantic:
+            out = raster(g, K, w2c, features=jax.nn.softmax(g.sem, -1))
+        else:
+            out = raster(g, K, w2c)
         l1 = jnp.mean(jnp.abs(out.color - target_rgb))
         loss = (1 - cfg.ssim_weight) * l1 + cfg.ssim_weight * (
             1.0 - ssim(out.color, target_rgb)
@@ -168,15 +186,26 @@ def make_gs_train_step(cfg: GSConfig, *, width: int, height: int):
             loss = loss + cfg.depth_weight * jnp.sum(dl) / jnp.maximum(
                 jnp.sum(depth_mask), 1.0
             )
+        if semantic:
+            # alpha-normalized expected class distribution vs the target id;
+            # supervise only covered pixels (the class mixture is undefined
+            # where nothing was splatted)
+            p = out.features / jnp.maximum(out.alpha[..., None], 1e-6)
+            tgt = jax.nn.one_hot(sem_ids, p.shape[-1])
+            ce = -jnp.log(jnp.sum(p * tgt, -1).clip(1e-8))
+            mask = (out.alpha > 0.5).astype(jnp.float32)
+            loss = loss + cfg.semantic_weight * jnp.sum(ce * mask) / \
+                jnp.maximum(jnp.sum(mask), 1.0)
         return loss, out
 
     @jax.jit
     def step(state: GSTrainState, K, w2c, target_rgb, target_depth,
-             depth_mask, obj_T=None, obj_vis=None):
+             depth_mask, obj_T=None, obj_vis=None, sem_ids=None):
         floats = _float_fields(state.gaussians)
         (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             floats, state.gaussians.active, state.gaussians.group,
             obj_T, obj_vis, K, w2c, target_rgb, target_depth, depth_mask,
+            sem_ids,
         )
         updates, opt_state = opt.update(grads, state.opt_state, floats)
         g = _with_floats(state.gaussians, optax.apply_updates(floats, updates))
@@ -217,6 +246,7 @@ def densify_and_prune(state: GSTrainState, cfg: GSConfig) -> GSTrainState:
     opa = np.asarray(g.opacity).copy()
     colors = np.asarray(g.colors).copy()
     sh = None if g.sh is None else np.asarray(g.sh).copy()
+    sem = None if g.sem is None else np.asarray(g.sem).copy()
     group = None if g.group is None else np.asarray(g.group).copy()
 
     # prune
@@ -241,6 +271,8 @@ def densify_and_prune(state: GSTrainState, cfg: GSConfig) -> GSTrainState:
         colors[dst] = colors[src]
         if sh is not None:
             sh[dst] = sh[src]
+        if sem is not None:
+            sem[dst] = sem[src]
         if group is not None:
             group[dst] = group[src]
         active[dst] = True
@@ -258,6 +290,8 @@ def densify_and_prune(state: GSTrainState, cfg: GSConfig) -> GSTrainState:
         colors[dst] = colors[src]
         if sh is not None:
             sh[dst] = sh[src]
+        if sem is not None:
+            sem[dst] = sem[src]
         if group is not None:
             group[dst] = group[src]
         active[dst] = True
@@ -267,6 +301,7 @@ def densify_and_prune(state: GSTrainState, cfg: GSConfig) -> GSTrainState:
         quats=jnp.asarray(quats), opacity=jnp.asarray(opa),
         colors=jnp.asarray(colors), active=jnp.asarray(active),
         sh=None if sh is None else jnp.asarray(sh),
+        sem=None if sem is None else jnp.asarray(sem),
         group=None if group is None else jnp.asarray(group),
     )
     opt = make_gs_optimizer(cfg)
@@ -288,6 +323,10 @@ def fit_scene(gaussians: Gaussians, views: list[dict], cfg: GSConfig,
         from .gaussians import with_sh
 
         gaussians = with_sh(gaussians, cfg.sh_degree)
+    if cfg.semantic_weight > 0 and gaussians.sem is None:
+        from .gaussians import with_sem
+
+        gaussians = with_sem(gaussians, cfg.semantic_classes)
     state = init_state(gaussians, cfg)
     step_fn = make_gs_train_step(cfg, width=width, height=height)
     rng = np.random.default_rng(seed)
@@ -301,7 +340,7 @@ def fit_scene(gaussians: Gaussians, views: list[dict], cfg: GSConfig,
             tm = jnp.zeros((height, width), jnp.float32)
         state, metrics = step_fn(
             state, v["K"], v["w2c"], v["rgb"], td, tm,
-            v.get("obj_T"), v.get("obj_vis"),
+            v.get("obj_T"), v.get("obj_vis"), v.get("sem_ids"),
         )
         if (i + 1) % cfg.densify_every == 0:
             state = densify_and_prune(state, cfg)
