@@ -125,6 +125,12 @@ def main(argv=None):
                         "gaussian groups seeded from objects_info.pkl "
                         "canonical clouds, rigidly moved per frame by the "
                         "tracked box poses (gaussians.apply_group_transforms)")
+    p.add_argument("--render_virtual", action="store_true",
+                   help="after refinement, render the refined scene along "
+                        "the +/-shift lateral virtual trajectories "
+                        "(render/splat.virtual_poses) and write PNGs + mp4s "
+                        "— the pipeline's novel-view end product")
+    p.add_argument("--shift", type=float, default=2.0)
     p.add_argument("--raster_backend", default="auto",
                    choices=("auto", "pallas", "xla"),
                    help="auto = Pallas tile kernels on TPU, XLA elsewhere")
@@ -236,6 +242,29 @@ def main(argv=None):
             media.save_image(
                 os.path.join(rdir, f"sem_{i:04d}.png"),
                 media.encode_semantic(pred).astype(np.uint8))
+
+    if args.render_virtual:
+        from ..render.splat import virtual_poses
+
+        for side_i, side in enumerate(("left", "right")):
+            sdir = os.path.join(args.out, "virtual_renders", side)
+            os.makedirs(sdir, exist_ok=True)
+            frames = []
+            for i, v in enumerate(views):
+                c2w = np.linalg.inv(np.asarray(v["w2c"], np.float64))
+                vpose = virtual_poses(c2w, shift=args.shift,
+                                      with_original=False)[side_i]
+                w2c_v = jnp.asarray(np.linalg.inv(vpose), jnp.float32)
+                gv = state.gaussians
+                if "obj_T" in v:
+                    gv = G.apply_group_transforms(
+                        gv, jnp.asarray(v["obj_T"]), jnp.asarray(v["obj_vis"]))
+                out = raster(gv, jnp.asarray(v["K"]), w2c_v)
+                img = (np.clip(np.asarray(out.color), 0, 1) * 255).astype(np.uint8)
+                media.save_image(os.path.join(sdir, f"nv_{i:04d}.png"), img)
+                frames.append(img)
+            media.save_video(os.path.join(args.out, f"virtual_{side}.mp4"),
+                             np.stack(frames), fps=10)
 
     result = {
         "n_gaussians_active": int(np.asarray(state.gaussians.active).sum()),

@@ -191,6 +191,7 @@ def test_refine_gs_end_to_end(scene, tmp_path):
         "--scene", scene, "--out", out_dir,
         "--height", "32", "--width", "48", "--steps", "30",
         "--capacity", "4096", "--limit_frames", "4", "--holdout_every", "4",
+        "--render_virtual",
     ])
     import json
     m = json.load(open(os.path.join(out_dir, "metrics.json")))
@@ -198,6 +199,11 @@ def test_refine_gs_end_to_end(scene, tmp_path):
     assert m["holdout_psnr_mean"] is not None and np.isfinite(m["holdout_psnr_mean"])
     assert os.path.exists(os.path.join(out_dir, "renders", "nv_0000.png"))
     assert os.path.exists(os.path.join(out_dir, "gaussians.pkl"))
+    # --render_virtual: lateral novel-trajectory renders + per-side mp4s
+    for side in ("left", "right"):
+        assert os.path.exists(os.path.join(
+            out_dir, "virtual_renders", side, "nv_0000.png"))
+        assert os.path.exists(os.path.join(out_dir, f"virtual_{side}.mp4"))
     # training reduced the loss
     hist = m["history"]
     assert hist[-1]["loss"] <= hist[0]["loss"] * 1.2
