@@ -44,6 +44,10 @@ class GSConfig:
     semantic_classes: int = 19       # cityscapes train ids (SegFormer)
     lr_sem: float = 2.5e-3
     densify_every: int = 100
+    opacity_reset_every: int = 3000  # 3DGS floater control: periodically
+                                     # clamp all opacities to <= 0.01 and let
+                                     # supervision re-grow the real surfaces
+                                     # (0 disables)
     densify_grad_thresh: float = 2e-4
     prune_opacity_thresh: float = 0.005
     split_scale_thresh: float = 0.05   # world units; split if larger
@@ -224,6 +228,19 @@ def make_gs_train_step(cfg: GSConfig, *, width: int, height: int):
     return step
 
 
+def reset_opacity(state: GSTrainState, cfg: GSConfig,
+                  ceiling: float = 0.01) -> GSTrainState:
+    """3DGS periodic opacity reset (gaussian-splatting train.py cadence
+    3000): clamp every opacity to <= ceiling so floaters fade unless the
+    supervision re-grows them. The affected Adam moments are reset (like
+    after densify, which already re-inits the optimizer)."""
+    logit = float(np.log(ceiling / (1 - ceiling)))
+    g = state.gaussians._replace(
+        opacity=jnp.minimum(state.gaussians.opacity, logit))
+    opt = make_gs_optimizer(cfg)
+    return state._replace(gaussians=g, opt_state=opt.init(_float_fields(g)))
+
+
 def densify_and_prune(state: GSTrainState, cfg: GSConfig) -> GSTrainState:
     """Host-side adaptive density control reusing inactive slots.
 
@@ -342,6 +359,8 @@ def fit_scene(gaussians: Gaussians, views: list[dict], cfg: GSConfig,
             state, v["K"], v["w2c"], v["rgb"], td, tm,
             v.get("obj_T"), v.get("obj_vis"), v.get("sem_ids"),
         )
+        if cfg.opacity_reset_every and (i + 1) % cfg.opacity_reset_every == 0:
+            state = reset_opacity(state, cfg)
         if (i + 1) % cfg.densify_every == 0:
             state = densify_and_prune(state, cfg)
         if (i + 1) % log_every == 0:

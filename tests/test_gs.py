@@ -439,3 +439,18 @@ def test_semantic_field_training():
     assert state.gaussians.sem is not None
     assert int(jnp.argmax(state.gaussians.sem[0])) == 7
     assert history[-1]["loss"] < history[0]["loss"]
+
+
+def test_opacity_reset():
+    """reset_opacity clamps every opacity to <= the ceiling (floater
+    control, 3DGS cadence) and leaves lower opacities untouched."""
+    from mudg_tpu.gs import train as GT
+
+    xyz = jnp.zeros((3, 3), jnp.float32)
+    g = G.init_from_points(xyz, jnp.full((3, 3), 0.5), capacity=3)
+    g = g._replace(opacity=jnp.array([8.0, -6.0, 0.0]))
+    st = GT.init_state(g, GT.GSConfig())
+    st2 = GT.reset_opacity(st, GT.GSConfig(), ceiling=0.01)
+    op = 1 / (1 + np.exp(-np.asarray(st2.gaussians.opacity)))
+    assert np.all(op <= 0.0101)
+    np.testing.assert_allclose(np.asarray(st2.gaussians.opacity[1]), -6.0)
