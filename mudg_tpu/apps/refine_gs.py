@@ -120,6 +120,10 @@ def main(argv=None):
                         "holdout pixel accuracy (StreetGaussians-style; "
                         "forces the XLA rasterizer)")
     p.add_argument("--semantic_weight", type=float, default=0.5)
+    p.add_argument("--appearance", action="store_true",
+                   help="learn a per-training-view affine color transform "
+                        "absorbing exposure/white-balance drift (NeRF-W "
+                        "style); holdout renders use the raw scene colors")
     p.add_argument("--dynamic", action="store_true",
                    help="StreetGaussians-style dynamic scene: per-object "
                         "gaussian groups seeded from objects_info.pkl "
@@ -208,7 +212,7 @@ def main(argv=None):
     ]
     cfg = GT.GSConfig(backend=args.raster_backend, sh_degree=args.sh_degree,
                       semantic_weight=args.semantic_weight if args.semantic
-                      else 0.0)
+                      else 0.0, appearance=args.appearance)
     raster = GT._pick_raster(cfg, args.width, args.height)
     state, history = GT.fit_scene(
         g, views_j, cfg, width=args.width, height=args.height,

@@ -43,6 +43,14 @@ class GSConfig:
                                      # XLA rasterizer (features channel)
     semantic_classes: int = 19       # cityscapes train ids (SegFormer)
     lr_sem: float = 2.5e-3
+    appearance: bool = False         # per-view affine color compensation
+                                     # (NeRF-W/StreetGaussians-style): a
+                                     # learned (3,4) transform per TRAINING
+                                     # view absorbs exposure/white-balance
+                                     # drift so the gaussians learn the
+                                     # consistent scene; holdout renders use
+                                     # the raw colors
+    lr_appearance: float = 1e-3
     densify_every: int = 100
     opacity_reset_every: int = 3000  # 3DGS floater control: periodically
                                      # clamp all opacities to <= 0.01 and let
@@ -96,6 +104,7 @@ class GSTrainState(NamedTuple):
     grad_accum: jnp.ndarray   # (N,) accumulated positional grad norms
     grad_count: jnp.ndarray   # (N,)
     step: jnp.ndarray
+    appearance: jnp.ndarray | None = None  # (V, 3, 4) per-view affine color
 
 
 def _float_fields(g: Gaussians) -> dict:
@@ -121,7 +130,7 @@ def make_gs_optimizer(cfg: GSConfig):
     the param dict so the optional 'sh' field joins automatically."""
     names = {"means": "means", "log_scales": "scales", "quats": "quats",
              "opacity": "opacity", "colors": "colors", "sh": "sh",
-             "sem": "sem"}
+             "sem": "sem", "appearance": "appearance"}
     tx = {
         "means": optax.adam(cfg.lr_means),
         "scales": optax.adam(cfg.lr_scales),
@@ -130,19 +139,37 @@ def make_gs_optimizer(cfg: GSConfig):
         "colors": optax.adam(cfg.lr_colors),
         "sh": optax.adam(cfg.lr_sh),
         "sem": optax.adam(cfg.lr_sem),
+        "appearance": optax.adam(cfg.lr_appearance),
     }
     return optax.multi_transform(tx, lambda params: {k: names[k] for k in params})
 
 
-def init_state(g: Gaussians, cfg: GSConfig) -> GSTrainState:
+def _identity_appearance(n_views: int):
+    A = jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], -1)
+    return jnp.tile(A[None], (n_views, 1, 1))
+
+
+def _train_params(state: GSTrainState) -> dict:
+    f = _float_fields(state.gaussians)
+    if state.appearance is not None:
+        f["appearance"] = state.appearance
+    return f
+
+
+def init_state(g: Gaussians, cfg: GSConfig,
+               n_views: int = 0) -> GSTrainState:
     opt = make_gs_optimizer(cfg)
-    return GSTrainState(
+    appearance = (_identity_appearance(n_views)
+                  if cfg.appearance and n_views else None)
+    state = GSTrainState(
         gaussians=g,
-        opt_state=opt.init(_float_fields(g)),
+        opt_state=None,
         grad_accum=jnp.zeros((g.n,), jnp.float32),
         grad_count=jnp.zeros((g.n,), jnp.float32),
         step=jnp.zeros((), jnp.int32),
+        appearance=appearance,
     )
+    return state._replace(opt_state=opt.init(_train_params(state)))
 
 
 def _pick_raster(cfg: GSConfig, width: int, height: int):
@@ -166,8 +193,8 @@ def make_gs_train_step(cfg: GSConfig, *, width: int, height: int):
     opt = make_gs_optimizer(cfg)
     raster = _pick_raster(cfg, width, height)
 
-    def loss_fn(floats, active, group, obj_T, obj_vis, K, w2c, target_rgb,
-                target_depth, depth_mask, sem_ids):
+    def loss_fn(floats, active, group, obj_T, obj_vis, view_idx, K, w2c,
+                target_rgb, target_depth, depth_mask, sem_ids):
         g = _with_floats(
             Gaussians(None, None, None, None, None, active, group=group),
             floats)
@@ -180,9 +207,15 @@ def make_gs_train_step(cfg: GSConfig, *, width: int, height: int):
             out = raster(g, K, w2c, features=jax.nn.softmax(g.sem, -1))
         else:
             out = raster(g, K, w2c)
-        l1 = jnp.mean(jnp.abs(out.color - target_rgb))
+        color = out.color
+        if "appearance" in floats:
+            # per-view affine exposure compensation applied to the RENDER:
+            # the view's drift is absorbed here, not in the scene colors
+            A = floats["appearance"][view_idx]
+            color = jnp.einsum("hwc,dc->hwd", color, A[:, :3]) + A[:, 3]
+        l1 = jnp.mean(jnp.abs(color - target_rgb))
         loss = (1 - cfg.ssim_weight) * l1 + cfg.ssim_weight * (
-            1.0 - ssim(out.color, target_rgb)
+            1.0 - ssim(color, target_rgb)
         )
         if target_depth is not None:
             d = out.depth / jnp.maximum(out.alpha, 1e-6)
@@ -204,15 +237,18 @@ def make_gs_train_step(cfg: GSConfig, *, width: int, height: int):
 
     @jax.jit
     def step(state: GSTrainState, K, w2c, target_rgb, target_depth,
-             depth_mask, obj_T=None, obj_vis=None, sem_ids=None):
-        floats = _float_fields(state.gaussians)
+             depth_mask, obj_T=None, obj_vis=None, sem_ids=None,
+             view_idx=0):
+        floats = _train_params(state)
         (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             floats, state.gaussians.active, state.gaussians.group,
-            obj_T, obj_vis, K, w2c, target_rgb, target_depth, depth_mask,
-            sem_ids,
+            obj_T, obj_vis, view_idx, K, w2c, target_rgb, target_depth,
+            depth_mask, sem_ids,
         )
         updates, opt_state = opt.update(grads, state.opt_state, floats)
-        g = _with_floats(state.gaussians, optax.apply_updates(floats, updates))
+        new_floats = optax.apply_updates(floats, updates)
+        appearance = new_floats.pop("appearance", None)
+        g = _with_floats(state.gaussians, new_floats)
         # densification statistics: positional gradient magnitude
         pos_grad = jnp.linalg.norm(grads["means"], axis=-1)
         touched = pos_grad > 0
@@ -222,6 +258,7 @@ def make_gs_train_step(cfg: GSConfig, *, width: int, height: int):
             grad_accum=state.grad_accum + pos_grad,
             grad_count=state.grad_count + touched.astype(jnp.float32),
             step=state.step + 1,
+            appearance=appearance,
         )
         return new_state, {"loss": loss}
 
@@ -238,7 +275,8 @@ def reset_opacity(state: GSTrainState, cfg: GSConfig,
     g = state.gaussians._replace(
         opacity=jnp.minimum(state.gaussians.opacity, logit))
     opt = make_gs_optimizer(cfg)
-    return state._replace(gaussians=g, opt_state=opt.init(_float_fields(g)))
+    state = state._replace(gaussians=g)
+    return state._replace(opt_state=opt.init(_train_params(state)))
 
 
 def densify_and_prune(state: GSTrainState, cfg: GSConfig) -> GSTrainState:
@@ -322,13 +360,15 @@ def densify_and_prune(state: GSTrainState, cfg: GSConfig) -> GSTrainState:
         group=None if group is None else jnp.asarray(group),
     )
     opt = make_gs_optimizer(cfg)
-    return GSTrainState(
+    new_state = GSTrainState(
         gaussians=new_g,
-        opt_state=opt.init(_float_fields(new_g)),  # moments reset after re-allocation
+        opt_state=None,  # moments reset after re-allocation
         grad_accum=jnp.zeros_like(state.grad_accum),
         grad_count=jnp.zeros_like(state.grad_count),
         step=state.step,
+        appearance=state.appearance,
     )
+    return new_state._replace(opt_state=opt.init(_train_params(new_state)))
 
 
 def fit_scene(gaussians: Gaussians, views: list[dict], cfg: GSConfig,
@@ -344,12 +384,13 @@ def fit_scene(gaussians: Gaussians, views: list[dict], cfg: GSConfig,
         from .gaussians import with_sem
 
         gaussians = with_sem(gaussians, cfg.semantic_classes)
-    state = init_state(gaussians, cfg)
+    state = init_state(gaussians, cfg, n_views=len(views))
     step_fn = make_gs_train_step(cfg, width=width, height=height)
     rng = np.random.default_rng(seed)
     history = []
     for i in range(steps):
-        v = views[int(rng.integers(len(views)))]
+        vi = int(rng.integers(len(views)))
+        v = views[vi]
         td = v.get("depth")
         tm = v.get("depth_mask")
         if td is None:
@@ -358,6 +399,7 @@ def fit_scene(gaussians: Gaussians, views: list[dict], cfg: GSConfig,
         state, metrics = step_fn(
             state, v["K"], v["w2c"], v["rgb"], td, tm,
             v.get("obj_T"), v.get("obj_vis"), v.get("sem_ids"),
+            jnp.asarray(vi, jnp.int32),
         )
         if cfg.opacity_reset_every and (i + 1) % cfg.opacity_reset_every == 0:
             state = reset_opacity(state, cfg)

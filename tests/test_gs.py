@@ -454,3 +454,41 @@ def test_opacity_reset():
     op = 1 / (1 + np.exp(-np.asarray(st2.gaussians.opacity)))
     assert np.all(op <= 0.0101)
     np.testing.assert_allclose(np.asarray(st2.gaussians.opacity[1]), -6.0)
+
+
+def test_appearance_compensation():
+    """Per-view affine exposure compensation: with two targets of the SAME
+    scene at different exposures, the appearance-enabled fit reaches a lower
+    loss than the plain fit, and the darker view's learned transform
+    deviates from identity."""
+    from mudg_tpu.gs import train as GT
+
+    K, w2c = _cam()
+    # frame-filling content: a global affine needs signal on most pixels
+    # (an empty background makes the SSIM gradient on it degenerate)
+    g_true = _one_gaussian(color=(0.8, 0.6, 0.4), scale=2.0, opacity=12.0)
+    base = rasterize(g_true, K, w2c, width=32, height=32).color
+    views = [
+        {"K": K, "w2c": w2c, "rgb": base},
+        {"K": K, "w2c": w2c, "rgb": base * 0.6},  # exposure drift
+    ]
+    g0 = _one_gaussian(color=(0.5, 0.5, 0.5), scale=2.0, opacity=12.0)
+
+    def run(appearance):
+        cfg = GT.GSConfig(densify_every=10_000, lr_colors=2e-2,
+                          lr_appearance=5e-3, appearance=appearance,
+                          backend="xla", opacity_reset_every=0)
+        state, hist = GT.fit_scene(g0, views, cfg, width=32, height=32,
+                                   steps=80, log_every=80, seed=3)
+        return state, hist[-1]["loss"]
+
+    st_plain, loss_plain = run(False)
+    st_app, loss_app = run(True)
+    assert st_plain.appearance is None
+    assert st_app.appearance is not None and st_app.appearance.shape == (2, 3, 4)
+    # the inconsistent exposures put a floor under the plain fit; the
+    # appearance transform removes it (measured ~0.08 vs ~0.004)
+    assert loss_app < loss_plain * 0.5
+    dev = np.abs(np.asarray(st_app.appearance[1])
+                 - np.asarray(GT._identity_appearance(1)[0]))
+    assert dev.max() > 0.02  # the drifted view learned a non-identity map
