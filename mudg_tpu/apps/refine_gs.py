@@ -158,15 +158,24 @@ def main(argv=None):
         with open(os.path.join(args.scene, "objects_info.pkl"), "rb") as f:
             obj_info = pickle.load(f)
         obj_info = [o for o in obj_info if len(o["point_cloud"]["points"])]
-        xs, cs, gi = [xyz], [rgb], [np.zeros(n0, np.int32)]
+        # objects get their slots FIRST — a capacity-filling background must
+        # never silently truncate the dynamic groups this mode exists for
+        n_obj = sum(len(o["point_cloud"]["points"]) for o in obj_info)
+        assert n_obj < args.capacity, \
+            f"--capacity {args.capacity} cannot hold {n_obj} object points"
+        if n0 > args.capacity - n_obj:
+            n0 = args.capacity - n_obj
+            print(f"dynamic: background trimmed to {n0} points to reserve "
+                  f"{n_obj} object slots")
+        xs, cs, gi = [xyz[:n0]], [rgb[:n0]], [np.zeros(n0, np.int32)]
         for j, o in enumerate(obj_info):
             pts = np.asarray(o["point_cloud"]["points"], np.float32)
             xs.append(pts)
             cs.append(np.asarray(o["point_cloud"]["colors"], np.float32))
             gi.append(np.full(len(pts), j + 1, np.int32))
-        xyz = np.concatenate(xs)[:args.capacity]
-        rgb = np.concatenate(cs)[:args.capacity]
-        grp = np.concatenate(gi)[:args.capacity]
+        xyz = np.concatenate(xs)
+        rgb = np.concatenate(cs)
+        grp = np.concatenate(gi)
         n0 = len(xyz)
     g = G.init_from_points(
         jnp.asarray(xyz), jnp.asarray(rgb), capacity=args.capacity
@@ -191,7 +200,10 @@ def main(argv=None):
         n_frames = max(v["frame"] for v in views) + 1
         n_groups = 1 + len(obj_info)
         T_tab = np.tile(np.eye(4, dtype=np.float32), (n_frames, n_groups, 1, 1))
-        vis_tab = np.ones((n_frames, n_groups), bool)
+        # frames without tracking info hide the object (identity would plant
+        # it at the canonical box pose near the origin); background stays on
+        vis_tab = np.zeros((n_frames, n_groups), bool)
+        vis_tab[:, 0] = True
         for j, o in enumerate(obj_info):
             for f_i in range(min(n_frames, len(o["transform_obj"]))):
                 T_tab[f_i, j + 1] = np.asarray(o["transform_obj"][f_i], np.float32)
@@ -206,6 +218,11 @@ def main(argv=None):
     if not train_views:
         train_views = views
     print(f"views: {len(train_views)} train / {len(hold_views)} holdout")
+    if args.semantic:
+        # the TRAINING split must carry maps or the CE term never fires and
+        # the semantic field silently stays at its uniform init
+        assert any("sem_ids" in v for v in train_views), \
+            "--semantic: no semantic maps in the training split"
 
     views_j = [
         {k: jnp.asarray(v[k]) for k in v} for v in train_views
@@ -222,17 +239,27 @@ def main(argv=None):
     os.makedirs(args.out, exist_ok=True)
     rdir = os.path.join(args.out, "renders")
     os.makedirs(rdir, exist_ok=True)
+
+    # jitted eval renderers: eager jax dispatch is pathologically slow here
+    # (remote tunnel, ~0.4 s per new dispatch — CLAUDE.md); one compile each,
+    # fast replays across frames/sides
+    if state.gaussians.sem is not None:
+        render_fn = jax.jit(lambda gg, K, w2c: raster(
+            gg, K, w2c, features=jax.nn.softmax(gg.sem, -1)))
+    else:
+        render_fn = jax.jit(lambda gg, K, w2c: raster(gg, K, w2c))
+    transform_fn = jax.jit(G.apply_group_transforms)
+
+    def view_gaussians(v):
+        if "obj_T" in v:
+            return transform_fn(state.gaussians, jnp.asarray(v["obj_T"]),
+                                jnp.asarray(v["obj_vis"]))
+        return state.gaussians
+
     psnrs, sem_accs = [], []
     for i, v in enumerate(hold_views or train_views[:4]):
-        gv = state.gaussians
-        if "obj_T" in v:
-            gv = G.apply_group_transforms(
-                gv, jnp.asarray(v["obj_T"]), jnp.asarray(v["obj_vis"]))
-        if gv.sem is not None:
-            out = raster(gv, jnp.asarray(v["K"]), jnp.asarray(v["w2c"]),
-                         features=jax.nn.softmax(gv.sem, -1))
-        else:
-            out = raster(gv, jnp.asarray(v["K"]), jnp.asarray(v["w2c"]))
+        out = render_fn(view_gaussians(v), jnp.asarray(v["K"]),
+                        jnp.asarray(v["w2c"]))
         img = np.asarray(out.color)
         media.save_image(os.path.join(rdir, f"nv_{i:04d}.png"),
                          (np.clip(img, 0, 1) * 255).astype(np.uint8))
@@ -250,25 +277,25 @@ def main(argv=None):
     if args.render_virtual:
         from ..render.splat import virtual_poses
 
-        for side_i, side in enumerate(("left", "right")):
-            sdir = os.path.join(args.out, "virtual_renders", side)
-            os.makedirs(sdir, exist_ok=True)
-            frames = []
-            for i, v in enumerate(views):
-                c2w = np.linalg.inv(np.asarray(v["w2c"], np.float64))
-                vpose = virtual_poses(c2w, shift=args.shift,
-                                      with_original=False)[side_i]
+        sides = ("left", "right")
+        frames = {s: [] for s in sides}
+        for s in sides:
+            os.makedirs(os.path.join(args.out, "virtual_renders", s),
+                        exist_ok=True)
+        for i, v in enumerate(views):
+            gv = view_gaussians(v)  # one group transform per frame
+            c2w = np.linalg.inv(np.asarray(v["w2c"], np.float64))
+            vposes = virtual_poses(c2w, shift=args.shift, with_original=False)
+            for side, vpose in zip(sides, vposes):
                 w2c_v = jnp.asarray(np.linalg.inv(vpose), jnp.float32)
-                gv = state.gaussians
-                if "obj_T" in v:
-                    gv = G.apply_group_transforms(
-                        gv, jnp.asarray(v["obj_T"]), jnp.asarray(v["obj_vis"]))
-                out = raster(gv, jnp.asarray(v["K"]), w2c_v)
+                out = render_fn(gv, jnp.asarray(v["K"]), w2c_v)
                 img = (np.clip(np.asarray(out.color), 0, 1) * 255).astype(np.uint8)
-                media.save_image(os.path.join(sdir, f"nv_{i:04d}.png"), img)
-                frames.append(img)
+                media.save_image(os.path.join(
+                    args.out, "virtual_renders", side, f"nv_{i:04d}.png"), img)
+                frames[side].append(img)
+        for side in sides:
             media.save_video(os.path.join(args.out, f"virtual_{side}.mp4"),
-                             np.stack(frames), fps=10)
+                             np.stack(frames[side]), fps=10)
 
     result = {
         "n_gaussians_active": int(np.asarray(state.gaussians.active).sum()),

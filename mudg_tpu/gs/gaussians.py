@@ -39,6 +39,12 @@ class Gaussians(NamedTuple):
                             # means/quats are stored in the object's
                             # CANONICAL (box) frame and moved per frame by
                             # apply_group_transforms. None = fully static.
+    sh_rot: jnp.ndarray | None = None  # (N, 3, 3) canonical->world rotation
+                            # set TRANSIENTLY by apply_group_transforms when
+                            # sh is present: view_colors rotates the view
+                            # direction back into the canonical frame so a
+                            # turning object's SH appearance turns with it.
+                            # Never stored/trained; None on canonical trees.
 
     @property
     def n(self):
@@ -115,6 +121,11 @@ def view_colors(g: Gaussians, w2c):
     cam_pos = -R.T @ t
     d = g.means - cam_pos
     d = d / jnp.linalg.norm(d, axis=-1, keepdims=True).clip(1e-8)
+    if g.sh_rot is not None:
+        # dynamic rigid groups: the coefficients live in the object's
+        # canonical frame — rotate the (world) view direction back so the
+        # appearance turns with the object (d_canonical = R_group^T d_world)
+        d = jnp.einsum("nik,ni->nk", g.sh_rot, d)
     basis = sh_basis(d, sh_degree_from_k(g.sh.shape[1]))  # (N, K)
     return jnp.maximum(g.colors + jnp.einsum("nk,nkc->nc", basis, g.sh), 0.0)
 
@@ -164,7 +175,10 @@ def apply_group_transforms(g: Gaussians, T, vis=None) -> Gaussians:
     active = g.active
     if vis is not None:
         active = active & jnp.asarray(vis).astype(bool)[g.group]
-    return g._replace(means=means, quats=quats, active=active)
+    out = g._replace(means=means, quats=quats, active=active)
+    if g.sh is not None:
+        out = out._replace(sh_rot=R[g.group])  # for view_colors (see field)
+    return out
 
 
 def with_sem(g: Gaussians, n_classes: int) -> Gaussians:

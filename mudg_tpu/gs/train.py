@@ -246,6 +246,14 @@ def make_gs_train_step(cfg: GSConfig, *, width: int, height: int):
             depth_mask, sem_ids,
         )
         updates, opt_state = opt.update(grads, state.opt_state, floats)
+        if "appearance" in updates:
+            # only the sampled view's affine moves: Adam's momentum would
+            # otherwise keep drifting every OTHER view's row (zero gradient,
+            # nonzero m_hat) for ~1/(1-b1) steps after it was last sampled
+            one = jax.nn.one_hot(view_idx, updates["appearance"].shape[0],
+                                 dtype=updates["appearance"].dtype)
+            updates = dict(updates, appearance=updates["appearance"]
+                           * one[:, None, None])
         new_floats = optax.apply_updates(floats, updates)
         appearance = new_floats.pop("appearance", None)
         g = _with_floats(state.gaussians, new_floats)

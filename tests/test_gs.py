@@ -492,3 +492,29 @@ def test_appearance_compensation():
     dev = np.abs(np.asarray(st_app.appearance[1])
                  - np.asarray(GT._identity_appearance(1)[0]))
     assert dev.max() > 0.02  # the drifted view learned a non-identity map
+
+
+def test_sh_rotates_with_dynamic_group():
+    """A rotated object's SH appearance turns with it: the transformed
+    object viewed from the rotated direction matches the canonical object
+    viewed from the canonical direction (and would NOT without the
+    canonical-frame view-direction correction)."""
+    rngv = np.random.default_rng(5)
+    g = G.with_sh(_one_gaussian(xyz=(1.0, 0, 4.0), color=(0.5, 0.5, 0.5)), 2)
+    g = g._replace(
+        sh=jnp.asarray(rngv.normal(0, 0.2, g.sh.shape).astype(np.float32)),
+        group=jnp.array([1], jnp.int32))
+    yaw = 0.7
+    Rz = np.eye(4, dtype=np.float32)
+    Rz[:3, :3] = [[np.cos(yaw), -np.sin(yaw), 0],
+                  [np.sin(yaw), np.cos(yaw), 0], [0, 0, 1]]
+    T = jnp.stack([jnp.eye(4), jnp.asarray(Rz)])
+    g_t = G.apply_group_transforms(g, T, jnp.array([True, True]))
+    assert g_t.sh_rot is not None
+
+    K, w2c = _cam()  # camera at the origin in both cases
+    col_t = np.asarray(G.view_colors(g_t, w2c))
+    col_c = np.asarray(G.view_colors(g._replace(group=None), w2c))
+    np.testing.assert_allclose(col_t, col_c, atol=1e-5)
+    col_wrong = np.asarray(G.view_colors(g_t._replace(sh_rot=None), w2c))
+    assert np.abs(col_wrong - col_c).max() > 1e-3
