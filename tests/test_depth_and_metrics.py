@@ -139,3 +139,58 @@ def test_eval_nvs_app(tmp_path):
     import json
     rows = [json.loads(l) for l in open(out)]
     assert len(rows) == 3 and all("ssim" in r for r in rows)
+
+
+def test_depth_metrics_and_miou():
+    gt = np.array([[1.0, 2.0], [4.0, 0.0]])  # one invalid pixel
+    pred = gt * 1.1
+    m = MET.depth_metrics(pred, gt)
+    np.testing.assert_allclose(m["abs_rel"], 0.1, atol=1e-6)
+    assert m["delta1"] == 1.0 and m["n_valid"] == 3
+    m2 = MET.depth_metrics(gt * 2.0, gt)
+    assert m2["delta1"] == 0.0
+
+    pred_ids = np.array([[0, 1], [1, 2]])
+    gt_ids = np.array([[0, 1], [2, 2]])
+    r = MET.miou(pred_ids, gt_ids, 19)
+    # class0: 1/1, class1: 1/2, class2: 1/2 -> mIoU 2/3; acc 3/4
+    np.testing.assert_allclose(r["miou"], 2 / 3, atol=1e-6)
+    np.testing.assert_allclose(r["pixel_acc"], 0.75, atol=1e-6)
+    assert r["n_classes_present"] == 3
+
+
+def test_eval_nvs_depth_and_semantic(tmp_path):
+    import cv2
+    from mudg_tpu.apps import eval_nvs
+    from mudg_tpu.utils import media
+
+    # depth: predictions 10% off the GT npys
+    d = tmp_path / "virtual_depth"
+    d.mkdir()
+    gtd = tmp_path / "six_frames_depth"
+    gtd.mkdir()
+    rng = np.random.default_rng(1)
+    for i in range(2):
+        gt = rng.uniform(1, 80, (16, 24)).astype(np.float32)
+        np.save(str(gtd / f"{i:08d}.npy"), gt)
+        np.save(str(d / f"depth_re_{i}.npy"), gt * 1.1)
+    s = eval_nvs.main(["--dir", str(d), "--task", "depth",
+                       "--gt_depth", str(gtd)])
+    assert s["n_frames"] == 2
+    np.testing.assert_allclose(s["abs_rel_mean"], 0.1, atol=1e-3)
+    assert s["delta1_mean"] == 1.0
+
+    # semantic: palette-encoded ids, one of four pixels flipped
+    sd = tmp_path / "virtual_semantic"
+    sd.mkdir()
+    ids_gt = rng.integers(0, 19, (16, 24))
+    ids_re = ids_gt.copy()
+    ids_re[::2, ::2] = (ids_re[::2, ::2] + 1) % 19
+    cv2.imwrite(str(sd / "semantic_gt_0.png"),
+                media.encode_semantic(ids_gt)[:, :, ::-1].astype(np.uint8))
+    cv2.imwrite(str(sd / "semantic_re_0.png"),
+                media.encode_semantic(ids_re)[:, :, ::-1].astype(np.uint8))
+    s2 = eval_nvs.main(["--dir", str(sd), "--task", "semantic"])
+    assert s2["n_frames"] == 1
+    np.testing.assert_allclose(s2["pixel_acc_mean"], 0.75, atol=0.01)
+    assert 0 < s2["miou_mean"] < 1
