@@ -311,6 +311,12 @@ def main(argv=None):
              for k in state.gaussians._fields
              if getattr(state.gaussians, k) is not None}, f,
         )
+    # ecosystem interop: standard INRIA point_cloud.ply (any splat viewer)
+    from ..gs.io import save_gaussians_ply
+
+    n_ply = save_gaussians_ply(
+        os.path.join(args.out, "gaussians.ply"), state.gaussians)
+    print(f"wrote gaussians.ply ({n_ply} splats, INRIA 3DGS layout)")
     print(json.dumps({k: result[k] for k in ("n_gaussians_active", "holdout_psnr_mean")}))
 
 

@@ -199,6 +199,11 @@ def test_refine_gs_end_to_end(scene, tmp_path):
     assert m["holdout_psnr_mean"] is not None and np.isfinite(m["holdout_psnr_mean"])
     assert os.path.exists(os.path.join(out_dir, "renders", "nv_0000.png"))
     assert os.path.exists(os.path.join(out_dir, "gaussians.pkl"))
+    # standard INRIA splat-viewer export roundtrips through gs/io.py
+    from mudg_tpu.gs.io import load_gaussians_ply
+
+    g_ply = load_gaussians_ply(os.path.join(out_dir, "gaussians.ply"))
+    assert g_ply.n == m["n_gaussians_active"]
     # --render_virtual: lateral novel-trajectory renders + per-side mp4s
     for side in ("left", "right"):
         assert os.path.exists(os.path.join(

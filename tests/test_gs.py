@@ -518,3 +518,42 @@ def test_sh_rotates_with_dynamic_group():
     np.testing.assert_allclose(col_t, col_c, atol=1e-5)
     col_wrong = np.asarray(G.view_colors(g_t._replace(sh_rot=None), w2c))
     assert np.abs(col_wrong - col_c).max() > 1e-3
+
+
+def test_inria_ply_roundtrip(tmp_path):
+    """INRIA-layout PLY export/import (gs/io.py): all fields roundtrip
+    bit-exactly, the channel-major f_rest flattening matches the reference
+    layout, and inactive slots are dropped on export."""
+    from mudg_tpu.gs import io as GIO
+
+    rng = np.random.default_rng(9)
+    n = 7
+    g = G.Gaussians(
+        means=jnp.asarray(rng.normal(0, 2, (n, 3)).astype(np.float32)),
+        log_scales=jnp.asarray(rng.normal(-2, 0.3, (n, 3)).astype(np.float32)),
+        quats=jnp.asarray(rng.normal(0, 1, (n, 4)).astype(np.float32)),
+        opacity=jnp.asarray(rng.normal(0, 2, (n,)).astype(np.float32)),
+        colors=jnp.asarray(rng.uniform(0, 1, (n, 3)).astype(np.float32)),
+        active=jnp.asarray([True] * 5 + [False] * 2),
+        sh=jnp.asarray(rng.normal(0, 0.1, (n, 8, 3)).astype(np.float32)),
+    )
+    path = str(tmp_path / "pc.ply")
+    assert GIO.save_gaussians_ply(path, g) == 5
+    g2 = GIO.load_gaussians_ply(path)
+    assert g2.n == 5 and bool(g2.active.all())
+    np.testing.assert_allclose(np.asarray(g2.means), np.asarray(g.means[:5]))
+    np.testing.assert_allclose(np.asarray(g2.log_scales),
+                               np.asarray(g.log_scales[:5]))
+    np.testing.assert_allclose(np.asarray(g2.quats), np.asarray(g.quats[:5]))
+    np.testing.assert_allclose(np.asarray(g2.opacity),
+                               np.asarray(g.opacity[:5]))
+    np.testing.assert_allclose(np.asarray(g2.colors), np.asarray(g.colors[:5]),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g2.sh), np.asarray(g.sh[:5]),
+                               atol=1e-7)
+    # identical renders from the roundtripped scene
+    K, w2c = _cam()
+    a = rasterize(g._replace(active=g.active), K, w2c, width=32, height=32)
+    b = rasterize(g2, K, w2c, width=32, height=32)
+    np.testing.assert_allclose(np.asarray(b.color), np.asarray(a.color),
+                               atol=1e-5)
