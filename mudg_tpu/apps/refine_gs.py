@@ -129,6 +129,12 @@ def main(argv=None):
                         "gaussian groups seeded from objects_info.pkl "
                         "canonical clouds, rigidly moved per frame by the "
                         "tracked box poses (gaussians.apply_group_transforms)")
+    p.add_argument("--init_gaussians", default=None,
+                   help="warm-start from an INRIA-layout gaussians .ply "
+                        "(a previous refine-gs export or an external 3DGS "
+                        "checkpoint) instead of seeding from the point "
+                        "cloud; incompatible with --dynamic (the ply has "
+                        "no group ids)")
     p.add_argument("--render_virtual", action="store_true",
                    help="after refinement, render the refined scene along "
                         "the +/-shift lateral virtual trajectories "
@@ -177,14 +183,36 @@ def main(argv=None):
         rgb = np.concatenate(cs)
         grp = np.concatenate(gi)
         n0 = len(xyz)
-    g = G.init_from_points(
-        jnp.asarray(xyz), jnp.asarray(rgb), capacity=args.capacity
-    )
-    if grp is not None:
-        pad = np.zeros(args.capacity, np.int32)
-        pad[:n0] = grp
-        g = g._replace(group=jnp.asarray(pad))
-        print(f"dynamic: {len(obj_info)} tracked objects as rigid groups")
+    if args.init_gaussians:
+        assert not args.dynamic, "--init_gaussians + --dynamic unsupported"
+        from ..gs.io import load_gaussians_ply
+
+        g0 = load_gaussians_ply(args.init_gaussians)
+        n0 = min(g0.n, args.capacity)
+        pad = args.capacity - n0
+
+        def padded(x, fill=0.0):
+            x = np.asarray(x)[:n0]
+            return jnp.asarray(np.concatenate(
+                [x, np.full((pad,) + x.shape[1:], fill, x.dtype)]))
+
+        g = G.Gaussians(
+            means=padded(g0.means), log_scales=padded(g0.log_scales),
+            quats=padded(g0.quats), opacity=padded(g0.opacity, -6.0),
+            colors=padded(g0.colors),
+            active=jnp.arange(args.capacity) < n0,
+            sh=None if g0.sh is None else padded(g0.sh),
+        )
+        print(f"warm start: {n0} splats from {args.init_gaussians}")
+    else:
+        g = G.init_from_points(
+            jnp.asarray(xyz), jnp.asarray(rgb), capacity=args.capacity
+        )
+        if grp is not None:
+            pad = np.zeros(args.capacity, np.int32)
+            pad[:n0] = grp
+            g = g._replace(group=jnp.asarray(pad))
+            print(f"dynamic: {len(obj_info)} tracked objects as rigid groups")
     print(f"init: {n0} gaussians (capacity {args.capacity})")
 
     views = load_views(args.scene, args.supervision, args.camera,

@@ -204,6 +204,18 @@ def test_refine_gs_end_to_end(scene, tmp_path):
 
     g_ply = load_gaussians_ply(os.path.join(out_dir, "gaussians.ply"))
     assert g_ply.n == m["n_gaussians_active"]
+
+    # warm start from the exported ply (--init_gaussians)
+    out2 = str(tmp_path / "gs_warm")
+    refine_gs.main([
+        "--scene", scene, "--out", out2,
+        "--height", "32", "--width", "48", "--steps", "10",
+        "--capacity", "4096", "--limit_frames", "4", "--holdout_every", "4",
+        "--init_gaussians", os.path.join(out_dir, "gaussians.ply"),
+    ])
+    m2 = json.load(open(os.path.join(out2, "metrics.json")))
+    assert m2["n_gaussians_active"] > 100
+    assert np.isfinite(m2["holdout_psnr_mean"])
     # --render_virtual: lateral novel-trajectory renders + per-side mp4s
     for side in ("left", "right"):
         assert os.path.exists(os.path.join(
