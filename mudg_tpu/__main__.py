@@ -24,6 +24,9 @@ def main(argv=None):
         print(__doc__)
         return 0
     cmd, rest = argv[0], argv[1:]
+    # hyphenated module-style aliases (docs/scripts use either form)
+    cmd = {"render-infer": "render", "train-mdm": "train",
+           "make-conditions": "conditions", "eval-nvs": "eval"}.get(cmd, cmd)
     if cmd == "train":
         from .apps.train_mdm import main as run
     elif cmd == "render":
