@@ -152,10 +152,14 @@ def main():
     if (os.environ.get("MUDG_BENCH_SKIP_INT8") != "1"
             and os.environ.get("MUDG_BENCH_INT8") != "1"
             and jax.default_backend() == "tpu"
-            # only when the bf16 COMPILE was cache-warm (cold is ~99 s;
-            # warm is seconds): the int8 variant is a separate executable,
-            # and paying two cold compiles could overrun the driver's
-            # bench timeout
+            # only when the bf16 compile+first-run was fast: the int8 variant
+            # is a separate executable and paying two slow compiles could
+            # overrun the driver's bench window. Measured 2026-08-18: even a
+            # persistent-cache HIT on the 106 MB clip executable still costs
+            # ~270 s first-run through the remote compile/execute service
+            # (cold 338 s), so this gate effectively never opens here — use
+            # MUDG_BENCH_INT8=1 for a dedicated int8 run (measured numbers in
+            # docs/STATE.md).
             and t_compile < 60):
         # secondary metric: the same clip through the int8 W8A8 serving path
         # (render_infer --quantize int8). Guarded — the headline bf16 number
