@@ -68,10 +68,16 @@ def make_sp(seq_parallel: bool):
     return None, "auto"
 
 
-def prepare_serving_params(params, quantize: str, sp):
+def prepare_serving_params(params, quantize: str, sp, min_size=None):
     """Apply serving-time quantization (shared by render_infer and serve).
 
     quantize: 'none' | 'int8' (W8A8 dynamic) | 'int8-weights' (weight-only).
+    min_size: minimum weight-element count to quantize (None = quant.py
+    default). Shape-aware policy measured on v5e (scripts/int8probe.py,
+    docs/STATE.md session 11): C<=320 square linears already run at ~95%
+    bf16 MFU so dynamic-quant overhead LOSES there, while C>=512 linears
+    (1.7x) and all convs (1.6-2x) win — min_size=200000 keeps 320x320
+    linears in bf16 but quantizes 3x3x320x320 convs and the C=320 FFs.
     Under sequence parallelism conv leaves fall back to weight-only — XLA's
     SPMD partitioner cannot handle int8 conv_general_dilated (see
     quant.quantize_pytree docstring) — including convs inside an
@@ -82,7 +88,7 @@ def prepare_serving_params(params, quantize: str, sp):
     if quantize != "none":
         mode = "w8a8" if quantize == "int8" else "w8"
         params = dict(params, unet=quant.quantize_pytree(
-            params["unet"], mode=mode,
+            params["unet"], mode=mode, min_size=min_size,
             conv_mode="w8" if sp is not None else None))
     if sp is not None:
         unet, n = quant.conv_w8a8_to_w8(params["unet"])
@@ -142,6 +148,12 @@ def main(argv=None):
                         "dynamic activation scales, int32 MXU dots); "
                         "'int8-weights' = weight-only (int8 storage/HBM, "
                         "bf16 compute — no activation-quantization error)")
+    p.add_argument("--quantize_min_size", type=int, default=None,
+                   help="min weight elements to quantize (default: quant.py "
+                        "MIN_QUANT_SIZE). 200000 is the MFU-aware sweet spot "
+                        "on v5e: keeps C<=320 square linears (already ~95% "
+                        "MFU in bf16) full precision, quantizes the rest "
+                        "(see prepare_serving_params docstring)")
     p.add_argument("--seq_parallel", action="store_true",
                    help="shard ONE clip's sampling over all devices "
                         "(parallel/sp.py: spatial layers frame-sharded, "
@@ -171,7 +183,8 @@ def main(argv=None):
         cfg = _dc.replace(cfg, base_scale=args.base_scale)
     params = load_params(args, cfg)
     sp, impl = make_sp(args.seq_parallel)
-    params = prepare_serving_params(params, args.quantize, sp)
+    params = prepare_serving_params(params, args.quantize, sp,
+                                    min_size=args.quantize_min_size)
     # real checkpoints demand the real BPE table (hash ids would index
     # meaningless rows of the learned text embedding)
     tokenizer = default_tokenizer(args.bpe, require_real=bool(args.ckpt))

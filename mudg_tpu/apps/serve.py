@@ -76,6 +76,9 @@ def main(argv=None):
     p.add_argument("--dtype", default="bf16", choices=("bf16", "f32"))
     p.add_argument("--quantize", default="none",
                    choices=("none", "int8", "int8-weights"))
+    p.add_argument("--quantize_min_size", type=int, default=None,
+                   help="min weight elements to quantize (see render_infer "
+                        "--quantize_min_size; 200000 = v5e MFU-aware policy)")
     p.add_argument("--seq_parallel", action="store_true",
                    help="shard each clip's sampling over all devices "
                         "(parallel/sp.py; same flag as render_infer). "
@@ -101,7 +104,8 @@ def main(argv=None):
         cfg = _dc.replace(cfg, base_scale=args.base_scale)
     params = load_params(args, cfg)
     sp, impl = make_sp(args.seq_parallel)
-    params = prepare_serving_params(params, args.quantize, sp)
+    params = prepare_serving_params(params, args.quantize, sp,
+                                    min_size=args.quantize_min_size)
     tokenizer = default_tokenizer(args.bpe, require_real=bool(args.ckpt))
     sample_fn = build_sampler(
         cfg, steps=args.steps, cfg_scale=args.cfg_scale, cfg_img=args.cfg_img,
