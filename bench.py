@@ -80,12 +80,18 @@ def main():
     unet = jax.tree.map(
         lambda s: jnp.full(s.shape, 0.01, dtype), unet_shapes
     )
-    if os.environ.get("MUDG_BENCH_INT8") == "1":
-        # measurement variant (not the headline metric): int8 W8A8 UNet
+    i8_policy = os.environ.get("MUDG_BENCH_INT8", "")
+    if i8_policy:
+        # measurement variant (not the headline metric): int8 W8A8 UNet.
+        # MUDG_BENCH_INT8=1|all -> every conv/linear (measured 7.23 s/clip,
+        # a net LOSS vs bf16's 5.53 — quantized matmuls forfeit the fused
+        # Pallas kernels); =conv -> spatial convs only (the population where
+        # int8 measured 1.5-2x and no fused kernel is displaced).
         from mudg_tpu import quant
 
-        unet = quant.quantize_pytree(unet)
-        log("int8-quantized UNet (MUDG_BENCH_INT8=1)")
+        which = "conv" if i8_policy == "conv" else "all"
+        unet = quant.quantize_pytree(unet, which=which)
+        log(f"int8-quantized UNet (MUDG_BENCH_INT8={i8_policy})")
     vae_shapes = jax.eval_shape(lambda k: V.init_vae(k, vcfg), rng)
     vae = jax.tree.map(lambda s: jnp.full(s.shape, 0.01, jnp.float32), vae_shapes)
     log("params ready")
@@ -150,7 +156,7 @@ def main():
         "vs_baseline": round(10.0 / p50, 3),
     }
     if (os.environ.get("MUDG_BENCH_SKIP_INT8") != "1"
-            and os.environ.get("MUDG_BENCH_INT8") != "1"
+            and not i8_policy
             and jax.default_backend() == "tpu"
             # only when the bf16 compile+first-run was fast: the int8 variant
             # is a separate executable and paying two slow compiles could
@@ -241,15 +247,19 @@ def _psnr_vs_torch_oracle(log, steps: int = 5):
     params = CK.state_dict_to_pytree(
         {k: v.numpy() for k, v in ref.state_dict().items()}
     )
-    if os.environ.get("MUDG_BENCH_INT8") == "1":
-        # quantize the oracle-comparison UNet too. min_size=0 because the
-        # tiny oracle's leaves are all below the serving threshold — this
-        # also quantizes the small precision-sensitive layers the serving
-        # path keeps fp, so the reported PSNR is a LOWER BOUND on the
-        # serving path's int8 quality, not its exact number.
+    i8_policy = os.environ.get("MUDG_BENCH_INT8", "")
+    if i8_policy:
+        # quantize the oracle-comparison UNet too (same `which` policy as
+        # the timed clip). min_size=0 because the tiny oracle's leaves are
+        # all below the serving threshold — this also quantizes the small
+        # precision-sensitive layers the serving path keeps fp, so the
+        # reported PSNR is a LOWER BOUND on the serving path's int8
+        # quality, not its exact number.
         from mudg_tpu import quant
 
-        params = quant.quantize_pytree(params, min_size=0)
+        params = quant.quantize_pytree(
+            params, min_size=0,
+            which="conv" if i8_policy == "conv" else "all")
 
     rng = np.random.default_rng(0)
     x = rng.normal(0, 1, (b, 4, t_len, hw, hw)).astype(np.float32)

@@ -30,6 +30,10 @@ def main(argv=None):
                    help="override for conv layers; use int8-weights if the "
                         "artifact will serve under --seq_parallel (XLA SPMD "
                         "cannot partition int8 convs)")
+    p.add_argument("--which", default="all", choices=("all", "conv"),
+                   help="'conv' quantizes only spatial convs — the measured "
+                        "latency-win population (blanket W8A8 loses the "
+                        "fused bf16 Pallas kernels; docs/STATE.md)")
     args = p.parse_args(argv)
 
     import jax
@@ -46,7 +50,7 @@ def main(argv=None):
                  else "w8a8" if args.conv_mode == "int8" else "w8")
     params = dict(params, unet=quant.quantize_pytree(
         params["unet"], mode=mode, min_size=args.min_size,
-        conv_mode=conv_mode))
+        conv_mode=conv_mode, which=args.which))
     rep = quant.size_report(params["unet"])
     # orbax restores what was saved — materialize on host-visible devices
     params = jax.tree.map(jax.numpy.asarray, params)

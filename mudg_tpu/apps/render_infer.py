@@ -71,13 +71,15 @@ def make_sp(seq_parallel: bool):
 def prepare_serving_params(params, quantize: str, sp, min_size=None):
     """Apply serving-time quantization (shared by render_infer and serve).
 
-    quantize: 'none' | 'int8' (W8A8 dynamic) | 'int8-weights' (weight-only).
-    min_size: minimum weight-element count to quantize (None = quant.py
-    default). Shape-aware policy measured on v5e (scripts/int8probe.py,
-    docs/STATE.md session 11): C<=320 square linears already run at ~95%
-    bf16 MFU so dynamic-quant overhead LOSES there, while C>=512 linears
-    (1.7x) and all convs (1.6-2x) win — min_size=200000 keeps 320x320
-    linears in bf16 but quantizes 3x3x320x320 convs and the C=320 FFs.
+    quantize: 'none' | 'int8' (W8A8 dynamic, every conv/linear) |
+    'int8-conv' (W8A8 on spatial convs ONLY — the measured-win policy) |
+    'int8-weights' (weight-only). min_size: minimum weight-element count to
+    quantize (None = quant.py default).
+    Measured end-to-end on v5e (docs/STATE.md): blanket 'int8' is a net
+    LOSS for latency (7.23 vs bf16's 5.53 s/clip — quantized matmul layers
+    forfeit the fused Pallas kernels); use it for HBM relief, not speed.
+    'int8-conv' quantizes only the layer population where int8 measured
+    1.5-2x (conv3x3) and displaces no fused kernel.
     Under sequence parallelism conv leaves fall back to weight-only — XLA's
     SPMD partitioner cannot handle int8 conv_general_dilated (see
     quant.quantize_pytree docstring) — including convs inside an
@@ -86,9 +88,10 @@ def prepare_serving_params(params, quantize: str, sp, min_size=None):
     from .. import quant
 
     if quantize != "none":
-        mode = "w8a8" if quantize == "int8" else "w8"
+        mode = "w8" if quantize == "int8-weights" else "w8a8"
         params = dict(params, unet=quant.quantize_pytree(
             params["unet"], mode=mode, min_size=min_size,
+            which="conv" if quantize == "int8-conv" else "all",
             conv_mode="w8" if sp is not None else None))
     if sp is not None:
         unet, n = quant.conv_w8a8_to_w8(params["unet"])
@@ -142,10 +145,12 @@ def main(argv=None):
                         "is ~2x faster on TPU (fp32 norm/softmax islands "
                         "apply either way)")
     p.add_argument("--quantize", default="none",
-                   choices=("none", "int8", "int8-weights"),
+                   choices=("none", "int8", "int8-conv", "int8-weights"),
                    help="post-training quantization of the UNet for serving "
                         "(quant.py). 'int8' = W8A8 dynamic (int8 weights + "
                         "dynamic activation scales, int32 MXU dots); "
+                        "'int8-conv' = W8A8 on spatial convs only (the "
+                        "latency-win policy — see prepare_serving_params); "
                         "'int8-weights' = weight-only (int8 storage/HBM, "
                         "bf16 compute — no activation-quantization error)")
     p.add_argument("--quantize_min_size", type=int, default=None,

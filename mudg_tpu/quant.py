@@ -65,7 +65,8 @@ def _is_quantizable_leaf_dict(p) -> bool:
 
 
 def quantize_pytree(params, *, min_size: int | None = None, mode: str = "w8a8",
-                    conv_mode: str | None = None):
+                    conv_mode: str | None = None, which: str = "all",
+                    jit: bool = True):
     """Walk a torch-layout parameter pytree and quantize every conv/linear
     'weight' leaf (ndim >= 2, size >= min_size) to int8 + per-out-channel
     scale. Returns a new pytree; unquantized leaves are shared, not copied.
@@ -86,21 +87,45 @@ def quantize_pytree(params, *, min_size: int | None = None, mode: str = "w8a8",
     dot_general partitions fine — caught by
     tests/test_parallel_inference.py.
 
+    which selects the leaf population:
+      "all"  (default) — every conv/linear weight above the threshold.
+      "conv" — ONLY spatial convolution leaves (ndim > 2, excluding the
+          (3,1,1) temporal convs, which run as shifted matmuls at ~95% MFU
+          in bf16). Motivated by measurement (docs/STATE.md): blanket W8A8
+          is a net end-to-end LOSS (7.23 vs 5.53 s/clip) because quantized
+          matmul layers forfeit the fused bf16 Pallas kernels, while int8
+          convs measured 1.5-2x (ds1 conv3x3 1.04 -> 0.52 ms) and the conv
+          population never overlaps the fused kernels.
+
     Output-channel axis is -1 for every layout in this codebase
-    (Linear (in, out), ConvNd (*k, in, out) — nn/functional.py:7-12)."""
+    (Linear (in, out), ConvNd (*k, in, out) — nn/functional.py:7-12).
+
+    jit=True (default) runs the whole conversion as ONE compiled executable:
+    eagerly it is ~6 ops x O(100s) of leaves, which is pathologically slow
+    through the axon remote-dispatch tunnel (docs/STATE.md). All structure
+    decisions (threshold, conv detection) read only static shapes, so
+    tracing is safe."""
     threshold = MIN_QUANT_SIZE if min_size is None else min_size
     assert mode in ("w8a8", "w8"), mode
     conv_mode = mode if conv_mode is None else conv_mode
     assert conv_mode in ("w8a8", "w8"), conv_mode
+    assert which in ("all", "conv"), which
+
+    def is_spatial_conv(w) -> bool:
+        return w.ndim > 2 and tuple(w.shape[:3]) != (3, 1, 1)
 
     def keyname(w) -> str:
-        is_conv = w.ndim > 2 and tuple(w.shape[:3]) != (3, 1, 1)
-        m = conv_mode if is_conv else mode
+        m = conv_mode if is_spatial_conv(w) else mode
         return "weight_i8" if m == "w8a8" else "weight_q8"
+
+    def selected(w) -> bool:
+        return which == "all" or is_spatial_conv(w)
 
     def walk(p):
         if isinstance(p, dict):
-            if _is_quantizable_leaf_dict(p) and p["weight"].size >= threshold:
+            if (_is_quantizable_leaf_dict(p)
+                    and p["weight"].size >= threshold
+                    and selected(p["weight"])):
                 w_i8, scale = quantize_weight(p["weight"])
                 q = {keyname(p["weight"]): w_i8, "scale": scale}
                 if "bias" in p and p["bias"] is not None:
@@ -109,6 +134,10 @@ def quantize_pytree(params, *, min_size: int | None = None, mode: str = "w8a8",
             return {k: walk(v) for k, v in p.items()}
         return p
 
+    if jit:
+        leaves = jax.tree.leaves(params)
+        if leaves and all(isinstance(l, jax.Array) for l in leaves):
+            return jax.jit(walk)(params)
     return walk(params)
 
 

@@ -55,6 +55,39 @@ def test_render_infer_end_to_end(scene, tmp_path):
     assert all(tuple(px) in pal for px in flat[:50])
 
 
+def test_render_infer_quantize_conv(scene, tmp_path):
+    """--quantize int8-conv (the measured latency-win policy: W8A8 on
+    spatial convs only, every matmul kept bf16 so the fused kernels stay
+    engaged) drives the full inference app end-to-end."""
+    from mudg_tpu.apps.make_conditions import render_scene_conditions
+    from mudg_tpu.data.waymo import write_items
+    from mudg_tpu.apps import render_infer
+
+    render_scene_conditions(scene, ("camera_FRONT",))
+    cam = "camera_FRONT"
+    item = {
+        "frames": [f"{i:08d}.jpg" for i in range(4)],
+        "dense_color_base": os.path.join(scene, "images", cam),
+        "sparse_color_base": os.path.join(scene, "sparse", cam),
+        "dense_semantic_base": os.path.join(scene, "semantic_dense", cam),
+        "dense_depth_base": os.path.join(scene, "six_frames_depth", cam),
+        "sparse_depth_base": os.path.join(scene, "depth", cam),
+    }
+    items_path = str(tmp_path / "items.txt")
+    write_items(items_path, [item])
+    out_dir = str(tmp_path / "out")
+
+    render_infer.main([
+        "--items", items_path, "--out", out_dir,
+        "--preset", "tiny", "--height", "32", "--width", "64",
+        "--video_length", "4", "--steps", "1", "--max_windows", "1",
+        "--quantize", "int8-conv", "--quantize_min_size", "0",
+    ])
+    for task in ("color", "depth", "semantic"):
+        tdir = os.path.join(out_dir, f"virtual_{task}")
+        assert os.path.exists(os.path.join(tdir, f"{task}_re_0.png"))
+
+
 def test_render_infer_seq_parallel(scene, tmp_path):
     """--seq_parallel: the same inference app shards ONE clip's sampler over
     the 8-device CPU mesh (parallel/sp.py; impl='xla' forced)."""

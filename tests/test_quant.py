@@ -153,6 +153,42 @@ def test_quantize_pytree_selectivity():
     assert rep["int8_bytes"] == 64 * 64
 
 
+def test_quantize_pytree_which_conv():
+    """which="conv" quantizes only spatial convs: linears and (3,1,1)
+    temporal convs keep their bf16 'weight' leaf (so the fused Pallas
+    kernels stay engaged); conv3x3 leaves convert."""
+    rng = jax.random.PRNGKey(0)
+    p = {
+        "lin": F.init_linear(rng, 64, 64),
+        "conv": F.init_conv(rng, (3, 3), 32, 32),
+        "tconv": F.init_conv(rng, (3, 1, 1), 32, 32),
+    }
+    q = quant.quantize_pytree(p, min_size=0, which="conv")
+    assert "weight" in q["lin"] and "weight" in q["tconv"]
+    assert "weight_i8" in q["conv"] and "weight" not in q["conv"]
+    # w8 conv_mode composes with the filter
+    q8 = quant.quantize_pytree(p, min_size=0, which="conv", conv_mode="w8")
+    assert "weight_q8" in q8["conv"] and "weight" in q8["lin"]
+
+
+def test_quantize_pytree_jit_matches_eager():
+    """The single-executable (jit=True, default) conversion matches the
+    eager walk: identical tree structure, scales within float-fusion ulps,
+    int8 codes off by at most 1 at round boundaries."""
+    rng = jax.random.PRNGKey(3)
+    p = {"lin": F.init_linear(rng, 48, 96),
+         "conv": F.init_conv(rng, (3, 3), 16, 32)}
+    qj = quant.quantize_pytree(p, min_size=0)
+    qe = quant.quantize_pytree(p, min_size=0, jit=False)
+    assert jax.tree.structure(qj) == jax.tree.structure(qe)
+    for a, b in zip(jax.tree.leaves(qj), jax.tree.leaves(qe)):
+        a, b = np.asarray(a), np.asarray(b)
+        if a.dtype == np.int8:
+            assert np.abs(a.astype(np.int32) - b.astype(np.int32)).max() <= 1
+        else:
+            np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
 @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
 def test_unet_quantized_forward_close(dtype):
     """Whole tiny-UNet forward: quantized output stays close to full-precision
