@@ -21,7 +21,7 @@ from mudg_tpu.nn import unet3d as U
 from mudg_tpu.nn import vae as V
 
 
-def main(steps=5):
+def main(steps=5, int8_which=None):
     cfg = presets.get("mdm1024")
     ucfg, vcfg = cfg.unet, cfg.vae
     b, t, hh, ww = 1, 16, 72, 128  # 576x1024 / f8
@@ -31,6 +31,11 @@ def main(steps=5):
     rng = jax.random.PRNGKey(0)
     unet_shapes = jax.eval_shape(lambda k: U.init_unet(k, ucfg), rng)
     unet = jax.tree.map(lambda s: jnp.full(s.shape, 0.01, dtype), unet_shapes)
+    if int8_which:
+        from mudg_tpu import quant
+
+        unet = quant.quantize_pytree(unet, which=int8_which)
+        print(f"# int8-quantized UNet (which={int8_which})", flush=True)
     vae_shapes = jax.eval_shape(lambda k: V.init_vae(k, vcfg), rng)
     vae = jax.tree.map(lambda s: jnp.full(s.shape, 0.01, jnp.float32), vae_shapes)
 
@@ -79,4 +84,13 @@ def main(steps=5):
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=5)
+    p.add_argument("--int8", default=None, choices=("all", "conv"),
+                   help="quantize the UNet first (quant.quantize_pytree "
+                        "which=...) to measure the int8 serving policies "
+                        "at stage-2 scale")
+    a = p.parse_args()
+    main(steps=a.steps, int8_which=a.int8)
