@@ -40,8 +40,29 @@ from .rasterize import RasterOut, TILE, ALPHA_MIN, T_MIN, _tile_grid
 
 NPIX = TILE * TILE  # 256
 CK = 128            # gaussians per streamed chunk
-NFEAT = 16          # feature lanes per pair (11 used)
+NFEAT = 16          # default feature lanes per pair (10 used: 6 geometry +
+                    # rgb + depth). When extra per-gaussian `features` push
+                    # the payload past 10 lanes the pack widens to 32 lanes
+                    # (4 pairs per 128-lane row instead of 8) — up to 26
+                    # payload channels, enough for the 19-class semantic
+                    # field + rgb + depth in ONE pass.
 NEG_BIG = -1e30
+
+
+def _npay_nfeat(n_extra: int) -> tuple[int, int]:
+    """Payload channel count (rgb + depth + extras) and the pair lane width
+    that fits it (6 geometry lanes + payload, in {16, 32})."""
+    npay = 4 + n_extra
+    nfeat = 16 if 6 + npay <= 16 else 32
+    if 6 + npay > 32:
+        raise ValueError(f"at most 26 payload channels (got {npay})")
+    return npay, nfeat
+
+
+def _nout(npay: int) -> int:
+    """Output rows per tile: payload + transmittance, padded to a multiple
+    of 8 (TPU sublane granularity)."""
+    return ((npay + 1 + 7) // 8) * 8
 
 
 def _interpret() -> bool:
