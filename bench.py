@@ -89,6 +89,10 @@ def main():
         # int8 measured 1.5-2x and no fused kernel is displaced).
         from mudg_tpu import quant
 
+        if i8_policy not in ("1", "all", "conv"):
+            raise SystemExit(
+                f"MUDG_BENCH_INT8={i8_policy!r} — expected '1', 'all', or 'conv'"
+            )
         which = "conv" if i8_policy == "conv" else "all"
         unet = quant.quantize_pytree(unet, which=which)
         log(f"int8-quantized UNet (MUDG_BENCH_INT8={i8_policy})")

@@ -11,9 +11,10 @@ The merge table (bpe_simple_vocab_16e6.txt.gz) is not vendored; pass its path
 without the vocab file, `HashTokenizer` provides a deterministic stand-in with
 the same interface (tests; NOT checkpoint-compatible).
 
-Note: open_clip additionally runs ftfy mojibake fixing before cleaning; ftfy
-is not available here, which only matters for malformed unicode input —
-Waymo captions are plain ASCII.
+open_clip additionally runs ftfy before whitespace cleaning; the ftfy package
+is not available here, so `_fix_mojibake` implements its core heuristic (undo
+UTF-8-read-as-cp1252/latin-1, the dominant mojibake class). Plain-ASCII text
+(all Waymo captions) passes through untouched either way.
 """
 from __future__ import annotations
 
@@ -63,7 +64,29 @@ def bytes_to_unicode():
     return dict(zip(bs, [chr(c) for c in cs]))
 
 
+def _fix_mojibake(text: str) -> str:
+    """Minimal ftfy.fix_text stand-in: iteratively undo UTF-8 bytes that were
+    mis-decoded as cp1252/latin-1 ('Ã©' -> 'é', 'â€™' -> '’'). Correctly
+    encoded text round-trips to invalid UTF-8 and is returned unchanged;
+    pure-ASCII input short-circuits."""
+    for _ in range(3):  # ftfy also bounds repeated-mojibake unwinding
+        if text.isascii():
+            return text
+        fixed = None
+        for enc in ("cp1252", "latin-1"):
+            try:
+                fixed = text.encode(enc).decode("utf-8")
+                break
+            except (UnicodeEncodeError, UnicodeDecodeError):
+                continue
+        if fixed is None or fixed == text:
+            return text
+        text = fixed
+    return text
+
+
 def _clean(text: str) -> str:
+    text = _fix_mojibake(text)
     text = html.unescape(html.unescape(text))
     text = " ".join(text.split())
     return text.strip().lower()

@@ -11,10 +11,10 @@ Host-side rebuild of `data_process/preprocess.py` (process_single_sequence,
   * TOP-lidar rolling-shutter compensation (preprocess.py:361-386): per-pixel
     ego pose -> delta pose in the lidar frame applied to rays.
 
-Actual Frame-proto decoding needs the waymo_open_dataset package (TF protos);
-`process_sequence` uses it when importable and raises a clear error
-otherwise. The tfrecord framing itself is handled natively
-(utils/native.tfrecord_index).
+Frame-proto decoding is fully self-contained: `data/waymo_proto.py` is a
+hand-rolled protobuf wire decoder for exactly the Frame fields this ETL
+consumes — no waymo_open_dataset or TensorFlow dependency. The tfrecord
+framing itself is handled natively (utils/native.tfrecord_index).
 """
 from __future__ import annotations
 

@@ -100,11 +100,14 @@ def quantize_pytree(params, *, min_size: int | None = None, mode: str = "w8a8",
     Output-channel axis is -1 for every layout in this codebase
     (Linear (in, out), ConvNd (*k, in, out) — nn/functional.py:7-12).
 
-    jit=True (default) runs the whole conversion as ONE compiled executable:
-    eagerly it is ~6 ops x O(100s) of leaves, which is pathologically slow
-    through the axon remote-dispatch tunnel (docs/STATE.md). All structure
-    decisions (threshold, conv detection) read only static shapes, so
-    tracing is safe."""
+    jit=True (default) runs the conversion as ONE compiled executable over
+    ONLY the selected weight leaves: eagerly it is ~6 ops x O(100s) of
+    leaves, which is pathologically slow through the axon remote-dispatch
+    tunnel (docs/STATE.md). Pass-through leaves (biases, norms, unselected
+    weights) never enter the jit, so they are genuinely shared, not copied —
+    no transient HBM doubling for the 1.44B UNet. All structure decisions
+    (threshold, conv detection) read only static shapes, so tracing is
+    safe."""
     threshold = MIN_QUANT_SIZE if min_size is None else min_size
     assert mode in ("w8a8", "w8"), mode
     conv_mode = mode if conv_mode is None else conv_mode
@@ -121,24 +124,29 @@ def quantize_pytree(params, *, min_size: int | None = None, mode: str = "w8a8",
     def selected(w) -> bool:
         return which == "all" or is_spatial_conv(w)
 
-    def walk(p):
+    def picked(p) -> bool:
+        return (_is_quantizable_leaf_dict(p)
+                and p["weight"].size >= threshold
+                and selected(p["weight"]))
+
+    def walk(p, quantize):
         if isinstance(p, dict):
-            if (_is_quantizable_leaf_dict(p)
-                    and p["weight"].size >= threshold
-                    and selected(p["weight"])):
-                w_i8, scale = quantize_weight(p["weight"])
+            if picked(p):
+                w_i8, scale = quantize(p["weight"])
                 q = {keyname(p["weight"]): w_i8, "scale": scale}
                 if "bias" in p and p["bias"] is not None:
                     q["bias"] = p["bias"]
                 return q
-            return {k: walk(v) for k, v in p.items()}
+            return {k: walk(v, quantize) for k, v in p.items()}
         return p
 
     if jit:
-        leaves = jax.tree.leaves(params)
-        if leaves and all(isinstance(l, jax.Array) for l in leaves):
-            return jax.jit(walk)(params)
-    return walk(params)
+        weights = []
+        walk(params, lambda w: (weights.append(w), (w, w))[1])
+        if weights and all(isinstance(w, jax.Array) for w in weights):
+            qs = iter(jax.jit(lambda ws: [quantize_weight(w) for w in ws])(weights))
+            return walk(params, lambda w: next(qs))
+    return walk(params, quantize_weight)
 
 
 def conv_w8a8_to_w8(params):

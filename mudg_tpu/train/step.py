@@ -49,6 +49,15 @@ class TrainConfig:
     ema_decay: float = 0.9999
     scale_lr: bool = False
     temporal_frozen: bool = False      # stage-2: freeze temporal layers
+    # LR schedule (ddpm3d.py:1007-1031 configure_schedulers; the shipped MuDG
+    # stage configs set no `scheduler:` key, so the default is constant LR —
+    # parity). "lambda_warmup": linear 0->1 warmup over warmup_steps, then
+    # constant (the LambdaLR recipe LVDM configs use); "cosine": cosine
+    # anneal to min_lr_ratio*lr over decay_steps (CosineAnnealingLR T_max).
+    scheduler: str | None = None
+    warmup_steps: int = 1000
+    decay_steps: int = 100000
+    min_lr_ratio: float = 0.0
 
 
 def split_params(params: dict):
@@ -170,13 +179,27 @@ def place_train_state(state: "TrainState", frozen: dict, mesh, *,
     return new_state, place(frozen)
 
 
+def make_lr_schedule(tc: TrainConfig, lr: float):
+    """Optax schedule mirroring ddpm3d.py:1007-1031. None -> constant."""
+    if tc.scheduler is None:
+        return lr
+    if tc.scheduler == "lambda_warmup":
+        return lambda step: lr * jnp.minimum(
+            (step + 1.0) / max(tc.warmup_steps, 1), 1.0)
+    if tc.scheduler == "cosine":
+        return optax.cosine_decay_schedule(
+            lr, tc.decay_steps, alpha=tc.min_lr_ratio)
+    raise NotImplementedError(f"scheduler {tc.scheduler!r}")
+
+
 def make_optimizer(tc: TrainConfig, world_batch: int | None = None):
     lr = tc.learning_rate
     if tc.scale_lr and world_batch:
         lr = lr * world_batch  # trainer.py:91
     return optax.chain(
         optax.clip_by_global_norm(tc.grad_clip),
-        optax.adamw(lr, b1=tc.beta1, b2=tc.beta2, weight_decay=tc.weight_decay),
+        optax.adamw(make_lr_schedule(tc, lr),
+                    b1=tc.beta1, b2=tc.beta2, weight_decay=tc.weight_decay),
     )
 
 

@@ -1,6 +1,10 @@
 """Per-family UNet-step ablation (current kernels): time the full step, then
 with one op family stubbed to identity at trace time; the difference is that
 family's integrated cost. Chained-scan timing per docs/STATE.md.
+
+--bwd: fwd+BACKWARD ablation at the training configuration (b=1, remat=True,
+impl="train", grads wrt params accumulated across the chain like grad accum)
+— locates where the ~855 ms training step goes (VERDICT round-2 item 1).
 """
 import functools
 import sys
@@ -15,16 +19,19 @@ from mudg_tpu.nn import attention as A
 from mudg_tpu.nn import functional as F
 from mudg_tpu.nn import unet3d as U
 
+BWD = "--bwd" in sys.argv
+
 
 def build():
     cfg = U.UNetConfig()
     params = jax.tree.map(
         lambda s: jnp.full(s.shape, 0.01, jnp.bfloat16),
         jax.eval_shape(lambda k: U.init_unet(k, cfg), jax.random.PRNGKey(0)))
-    b, t, hh, ww = 2, 16, 40, 64
+    b = 1 if BWD else 2
+    t, hh, ww = 16, 40, 64
     x = jax.random.normal(jax.random.PRNGKey(1), (b, t, hh, ww, cfg.in_channels),
                           jnp.bfloat16) * 0.1
-    ts = jnp.array([500, 500], jnp.int32)
+    ts = jnp.full((b,), 500, jnp.int32)
     ctx = jax.random.normal(jax.random.PRNGKey(2), (b, 77 + t * 16, 1024),
                             jnp.bfloat16) * 0.1
     lab = jnp.zeros((b,), jnp.int32)
@@ -42,8 +49,32 @@ def timed(fn, params, args, n_long=24, n_short=4):
         y, _ = jax.lax.scan(body, x, None, length=n)
         return jnp.sum(y.astype(jnp.float32))
 
-    fl = jax.jit(functools.partial(chain, n=n_long))
-    fs_ = jax.jit(functools.partial(chain, n=n_short))
+    def chain_bwd(params, x, ts, ctx, lab, fs, n):
+        def loss(p, c):
+            y = fn(p, c, ts, ctx, lab, fs)
+            return jnp.mean(jnp.square(y.astype(jnp.float32)))
+
+        # value_and_grad over (params, input); grads accumulate in the carry
+        # (same structure as the accum_steps scan in train/step.py) so every
+        # dL/dW is live and the iterations chain through gc.
+        def body2(carry, _):
+            c, gacc = carry
+            l, (gp, gc) = jax.value_and_grad(loss, argnums=(0, 1))(params, c)
+            gacc = jax.tree.map(jnp.add, gacc, gp)
+            c = c + 0.01 * gc.astype(c.dtype)
+            return (c, gacc), None
+
+        zero = jax.tree.map(jnp.zeros_like, params)
+        (c, gacc), _ = jax.lax.scan(body2, (x, zero), None, length=n)
+        gn = sum(jnp.sum(jnp.square(g.astype(jnp.float32)))
+                 for g in jax.tree.leaves(gacc))
+        return jnp.sum(c.astype(jnp.float32)) + gn
+
+    ch = chain_bwd if BWD else chain
+    if BWD:
+        n_long, n_short = 8, 2
+    fl = jax.jit(functools.partial(ch, n=n_long))
+    fs_ = jax.jit(functools.partial(ch, n=n_short))
     float(fl(params, *args)); float(fs_(params, *args))
 
     def best(f):
@@ -59,8 +90,12 @@ def timed(fn, params, args, n_long=24, n_short=4):
 
 def main():
     cfg, params, args = build()
-    fn = lambda p, x, ts, ctx, lab, fs: U.unet_apply(
-        p, cfg, x, ts, ctx, c_label=lab, fs=fs)
+    if BWD:
+        fn = lambda p, x, ts, ctx, lab, fs: U.unet_apply(
+            p, cfg, x, ts, ctx, c_label=lab, fs=fs, impl="train", remat=True)
+    else:
+        fn = lambda p, x, ts, ctx, lab, fs: U.unet_apply(
+            p, cfg, x, ts, ctx, c_label=lab, fs=fs)
 
     base = timed(fn, params, args)
     print(f"full step: {base*1e3:7.2f} ms", flush=True)

@@ -144,3 +144,17 @@ def test_clip_bpe_matches_transformers_oracle(tmp_path):
         ours_ids = [ours.sot] + ours.encode(text) + [ours.eot]
         hf_ids = hf(text)["input_ids"]
         assert ours_ids == hf_ids, f"{text!r}: {ours_ids} != {hf_ids}"
+
+
+def test_fix_mojibake():
+    # UTF-8 read as cp1252 (the dominant mojibake class ftfy fixes)
+    assert T._fix_mojibake("CafÃ©") == "Café"
+    assert T._fix_mojibake("itâ€™s") == "it’s"
+    # double-encoded round unwinds within the iteration bound
+    twice = "é".encode("utf-8").decode("cp1252").encode("utf-8").decode("cp1252")
+    assert T._fix_mojibake(twice) == "é"
+    # correctly encoded unicode and plain ASCII pass through untouched
+    assert T._fix_mojibake("café naïve") == "café naïve"
+    assert T._fix_mojibake("plain ascii") == "plain ascii"
+    # flows through _clean (open_clip runs ftfy before whitespace_clean)
+    assert T._clean("CafÃ©  Street") == "café street"

@@ -204,3 +204,35 @@ def test_zero_sharding_specs():
     assert spec == jax.sharding.PartitionSpec(None, "data")
     spec2 = PM.largest_divisible_axis_spec((7,), 8, "data")
     assert spec2 == jax.sharding.PartitionSpec()
+
+
+def test_lr_schedules():
+    """ddpm3d.py:1007-1031 schedulers: warmup-lambda + cosine anneal."""
+    tc = TS.TrainConfig(learning_rate=1e-3, scheduler="lambda_warmup",
+                        warmup_steps=10)
+    sched = TS.make_lr_schedule(tc, tc.learning_rate)
+    assert np.isclose(float(sched(0)), 1e-4)
+    assert np.isclose(float(sched(9)), 1e-3)
+    assert np.isclose(float(sched(500)), 1e-3)  # constant after warmup
+
+    tc = TS.TrainConfig(learning_rate=1e-3, scheduler="cosine",
+                        decay_steps=100, min_lr_ratio=0.1)
+    sched = TS.make_lr_schedule(tc, tc.learning_rate)
+    assert np.isclose(float(sched(0)), 1e-3)
+    assert np.isclose(float(sched(100)), 1e-4)  # alpha * lr
+    mid = float(sched(50))
+    assert 1e-4 < mid < 1e-3
+
+    # default: constant (the MuDG stage configs set no scheduler key)
+    assert TS.make_lr_schedule(TS.TrainConfig(), 1e-5) == 1e-5
+
+    with pytest.raises(NotImplementedError):
+        TS.make_lr_schedule(TS.TrainConfig(scheduler="nope"), 1e-5)
+
+    # the optimizer builds and steps with a schedule active
+    opt = TS.make_optimizer(TS.TrainConfig(scheduler="lambda_warmup"))
+    p = {"w": jnp.ones((4,))}
+    st = opt.init(p)
+    g = {"w": jnp.ones((4,))}
+    upd, st = opt.update(g, st, p)
+    assert np.all(np.isfinite(np.asarray(upd["w"])))
