@@ -41,9 +41,9 @@ class RasterOut(NamedTuple):
     alpha: jnp.ndarray   # (H, W) accumulated opacity
     n_dropped: jnp.ndarray  # scalar: gaussian-tile pairs beyond capacity
     features: jnp.ndarray | None = None  # (H, W, C) alpha-composited extra
-                         # per-gaussian features (XLA path only — e.g. the
-                         # semantic class distributions of refine-gs
-                         # --semantic); None unless `features` was passed
+                         # per-gaussian features (e.g. the semantic class
+                         # distributions of refine-gs --semantic); None
+                         # unless `features` was passed
 
 
 def _tile_grid(width, height):

@@ -41,11 +41,13 @@ from .rasterize import RasterOut, TILE, ALPHA_MIN, T_MIN, _tile_grid
 NPIX = TILE * TILE  # 256
 CK = 128            # gaussians per streamed chunk
 NFEAT = 16          # default feature lanes per pair (10 used: 6 geometry +
-                    # rgb + depth). When extra per-gaussian `features` push
-                    # the payload past 10 lanes the pack widens to 32 lanes
-                    # (4 pairs per 128-lane row instead of 8) — up to 26
-                    # payload channels, enough for the 19-class semantic
-                    # field + rgb + depth in ONE pass.
+                    # rgb + depth, 8 pairs per 128-lane HBM row). Extra
+                    # per-gaussian `features` (e.g. the 3DGS semantic field's
+                    # softmaxed class distribution) widen the pack to 32
+                    # lanes / 4 pairs per row — up to 26 payload channels,
+                    # enough for 19 semantic classes + rgb + depth in ONE
+                    # pass. Geometry always occupies lanes 0-5; the payload
+                    # is [r, g, b, depth, extras...].
 NEG_BIG = -1e30
 
 
@@ -83,10 +85,11 @@ def _interpret() -> bool:
 # (8x expansion: 2 x 9.7 GB HLO temps at 5M gaussians, HBM OOM).
 
 
-def _chunk_rank(co):
-    """Within-chunk slot co (0..127, row-major 8-pairs-per-row) -> the depth
-    rank whose pair it must hold: slot (r, k) stores rank k*16 + r."""
-    return (co % 8) * 16 + co // 8
+def _chunk_rank(co, ppr=8):
+    """Within-chunk slot co (0..127, row-major ppr-pairs-per-row) -> the
+    depth rank whose pair it must hold: slot (r, k) stores rank
+    k*(CK/ppr) + r."""
+    return (co % ppr) * (CK // ppr) + co // ppr
 
 
 def _lane_roll(x, shift):
@@ -97,23 +100,28 @@ def _lane_roll(x, shift):
     return pltpu.roll(x, shift % x.shape[1], 1)  # pltpu.roll wants shift >= 0
 
 
-def _kernel_unpack(buf8):
-    """(16, 128) chunk -> (CK, NFEAT) in depth order (inverse of the packed layout).
-    Each 16-lane group is rotated to lane offset 0 before the sublane
-    concat so all parts share one layout."""
-    parts = [buf8[:, :NFEAT]]
-    for k in range(1, 8):
-        parts.append(_lane_roll(buf8, -k * NFEAT)[:, :NFEAT])
+def _kernel_unpack(buf8, nfeat=NFEAT):
+    """(CK/ppr, 128) chunk -> (CK, nfeat) in depth order (inverse of the
+    packed layout; ppr = 128/nfeat pairs per row). Each nfeat-lane group is
+    rotated to lane offset 0 before the sublane concat so all parts share
+    one layout."""
+    ppr = 128 // nfeat
+    parts = [buf8[:, :nfeat]]
+    for k in range(1, ppr):
+        parts.append(_lane_roll(buf8, -k * nfeat)[:, :nfeat])
     return jnp.concatenate(parts, axis=0)
 
 
-def _kernel_pack(g):
-    """(CK, NFEAT) -> (16, 128), inverse of _kernel_unpack: lane-pad each
-    16-row slab to 128 lanes, rotate into place, sum."""
-    out = jnp.pad(g[0:16, :], ((0, 0), (0, 128 - NFEAT)))
-    for k in range(1, 8):
-        part = jnp.pad(g[k * 16:(k + 1) * 16, :], ((0, 0), (0, 128 - NFEAT)))
-        out = out + _lane_roll(part, k * NFEAT)
+def _kernel_pack(g, nfeat=NFEAT):
+    """(CK, nfeat) -> (CK/ppr, 128), inverse of _kernel_unpack: lane-pad
+    each CK/ppr-row slab to 128 lanes, rotate into place, sum."""
+    ppr = 128 // nfeat
+    rows = CK // ppr
+    out = jnp.pad(g[0:rows, :], ((0, 0), (0, 128 - nfeat)))
+    for k in range(1, ppr):
+        part = jnp.pad(g[k * rows:(k + 1) * rows, :],
+                       ((0, 0), (0, 128 - nfeat)))
+        out = out + _lane_roll(part, k * nfeat)
     return out
 
 
@@ -138,11 +146,14 @@ def _expand(span, max_slots):
 
 
 def build_pairs(proj, colors, *, width: int, height: int, max_pairs: int,
-                max_rows: int | None = None):
-    """Returns (feats8 (P_pad/8, 128) f32, bounds (n_tiles+1,) i32 with every
-    segment padded to a CK multiple, n_dropped). Pair lanes:
-    [mux, muy, conic_a, conic_b, conic_c, opacity, r, g, b, depth, 0...];
-    padding pairs are all-zero (alpha == 0, no contribution, zero grads).
+                max_rows: int | None = None, extras=None):
+    """Returns (feats (P_pad/ppr, 128) f32, bounds (n_tiles+1,) i32 with
+    every segment padded to a CK multiple, n_dropped). Pair lanes:
+    [mux, muy, conic_a, conic_b, conic_c, opacity, r, g, b, depth,
+    extras..., 0...]; padding pairs are all-zero (alpha == 0, no
+    contribution, zero grads). extras: optional (N, E) per-gaussian payload
+    channels (e.g. softmaxed semantic logits) composited alongside color —
+    E > 6 widens the pack from 16 to 32 lanes (4 pairs per row).
 
     Pair enumeration is EXACT (FlashGS-style, arXiv 2408.07967): gaussians
     expand to tile ROWS over the alpha-cutoff ellipse's y-extent, each row
@@ -212,23 +223,29 @@ def build_pairs(proj, colors, *, width: int, height: int, max_pairs: int,
         tile_ids, mode="drop")
     t_of = jax.lax.cummax(tmark)
     off = slot_pad - pbounds[t_of]
+    n_extra = 0 if extras is None else extras.shape[-1]
+    npay, nfeat = _npay_nfeat(n_extra)
+    ppr = 128 // nfeat
+
     # fold the chunk-rank interleave into the gather: slot co of each
     # 128-pair chunk fetches the pair of depth rank _chunk_rank(co)
     co = off % CK
-    offp = off - co + _chunk_rank(co)
+    offp = off - co + _chunk_rank(co, ppr)
     src = jnp.clip(bounds[t_of] + offp, 0, max_pairs - 1)
     keep = offp < counts[t_of]
     gp = jnp.where(keep, gi_s[src], 0)
 
     # one row-gather from a small per-gaussian feature table
-    table = jnp.concatenate([
-        proj.means2d, proj.conics, proj.opacities[:, None], colors,
-        proj.depths[:, None],
-        jnp.zeros((proj.depths.shape[0], NFEAT - 10), jnp.float32),
-    ], axis=1).astype(jnp.float32)
+    cols = [proj.means2d, proj.conics, proj.opacities[:, None], colors,
+            proj.depths[:, None]]
+    if extras is not None:
+        cols.append(extras)
+    cols.append(jnp.zeros((proj.depths.shape[0], nfeat - 6 - npay),
+                          jnp.float32))
+    table = jnp.concatenate(cols, axis=1).astype(jnp.float32)
     feats_pad = jnp.where(keep[:, None], table[gp], 0.0)
 
-    return feats_pad.reshape(p_pad // 8, 8 * NFEAT), pbounds, n_dropped
+    return feats_pad.reshape(p_pad // ppr, ppr * nfeat), pbounds, n_dropped
 
 
 # ---------------------------------------------------------------------------
@@ -266,78 +283,89 @@ def _chunk_alpha(f, px, py, nrem):
     return alpha, power, g2d, dx, dy
 
 
-def _chunk_copy(feats_hbm, buf, sem, start, i):
+def _chunk_copy(feats_hbm, buf, sem, start, i, ppr=8):
     return pltpu.make_async_copy(
-        feats_hbm.at[pl.ds((start + i * CK) // 8, CK // 8), :],
+        feats_hbm.at[pl.ds((start + i * CK) // ppr, CK // ppr), :],
         buf.at[i % 2], sem.at[i % 2])
 
 
-def _fwd_kernel(bounds_ref, feats_hbm, out_ref, buf, sem, *, tw):
+def _paysum(f_pay, w):
+    """Composite one chunk's payload: (CK, npay)^T @ (CK, NPIX) -> the
+    (npay, NPIX) sum of w[g] * payload[g] over the chunk's gaussians —
+    one MXU contraction instead of npay rowsums."""
+    return jax.lax.dot_general(
+        f_pay, w, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _fwd_kernel(bounds_ref, feats_hbm, out_ref, buf, sem, *, tw, npay, nfeat):
     t = pl.program_id(0)
     start = bounds_ref[t]
     count = bounds_ref[t + 1] - start
     px, py = _pix_coords(t, tw)
     tri = _tri_excl()
+    ppr = 128 // nfeat
 
     nck = (count + CK - 1) // CK
 
     @pl.when(nck > 0)
     def _prefetch0():
-        _chunk_copy(feats_hbm, buf, sem, start, 0).start()
+        _chunk_copy(feats_hbm, buf, sem, start, 0, ppr).start()
 
     def cond(c):
-        i, T, *_ = c
+        i, T, _ = c
         return (i < nck) & (jnp.max(T) > T_MIN)
 
     def body(c):
-        i, T, cr, cg, cb_, cd = c
+        i, T, acc = c
 
         @pl.when(i + 1 < nck)
         def _prefetch_next():  # overlap the next chunk's DMA with compute
-            _chunk_copy(feats_hbm, buf, sem, start, i + 1).start()
+            _chunk_copy(feats_hbm, buf, sem, start, i + 1, ppr).start()
 
-        _chunk_copy(feats_hbm, buf, sem, start, i).wait()
-        f = _kernel_unpack(buf[i % 2])
+        _chunk_copy(feats_hbm, buf, sem, start, i, ppr).wait()
+        f = _kernel_unpack(buf[i % 2], nfeat)
         alpha0, *_ = _chunk_alpha(f, px, py, count - i * CK)
         lg0 = jnp.log(1.0 - alpha0)
         tat = T * jnp.exp(jax.lax.dot(tri, lg0, preferred_element_type=jnp.float32))
         alpha = jnp.where(tat > T_MIN, alpha0, 0.0)
         w = alpha * tat
-        cr = cr + jnp.sum(w * f[:, 6:7], axis=0, keepdims=True)
-        cg = cg + jnp.sum(w * f[:, 7:8], axis=0, keepdims=True)
-        cb_ = cb_ + jnp.sum(w * f[:, 8:9], axis=0, keepdims=True)
-        cd = cd + jnp.sum(w * f[:, 9:10], axis=0, keepdims=True)
+        acc = acc + _paysum(f[:, 6:6 + npay], w)
         T = T * jnp.exp(jnp.sum(jnp.log(1.0 - alpha), axis=0, keepdims=True))
-        return i + 1, T, cr, cg, cb_, cd
+        return i + 1, T, acc
 
-    z = jnp.zeros((1, NPIX), jnp.float32)
-    init = (jnp.int32(0), jnp.ones((1, NPIX), jnp.float32), z, z, z, z)
-    i_end, T, cr, cg, cb_, cd = jax.lax.while_loop(cond, body, init)
+    init = (jnp.int32(0), jnp.ones((1, NPIX), jnp.float32),
+            jnp.zeros((npay, NPIX), jnp.float32))
+    i_end, T, acc = jax.lax.while_loop(cond, body, init)
 
     @pl.when(i_end < nck)
     def _drain():  # early exit leaves the prefetched chunk in flight
-        _chunk_copy(feats_hbm, buf, sem, start, i_end).wait()
+        _chunk_copy(feats_hbm, buf, sem, start, i_end, ppr).wait()
 
+    nout = _nout(npay)
     out_ref[0] = jnp.concatenate(
-        [cr, cg, cb_, cd, T, z, z, z], axis=0)  # (8, NPIX)
+        [acc, T, jnp.zeros((nout - npay - 1, NPIX), jnp.float32)],
+        axis=0)  # (nout, NPIX): [payload..., T, pad]
 
 
-def _composite_fwd_impl(feats, bounds, *, n_tiles, tw):
+def _composite_fwd_impl(feats, bounds, *, n_tiles, tw, npay):
+    _, nfeat = _npay_nfeat(npay - 4)
+    nout = _nout(npay)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((1, 8, NPIX), lambda t, *_: (t, 0, 0),
+        out_specs=pl.BlockSpec((1, nout, NPIX), lambda t, *_: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, CK // 8, 8 * NFEAT), jnp.float32),
+            pltpu.VMEM((2, CK * nfeat // 128, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, tw=tw),
+        functools.partial(_fwd_kernel, tw=tw, npay=npay, nfeat=nfeat),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_tiles, 8, NPIX), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, nout, NPIX), jnp.float32),
         interpret=_interpret(),
     )(bounds, feats)
 
@@ -347,34 +375,37 @@ def _composite_fwd_impl(feats, bounds, *, n_tiles, tw):
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(bounds_ref, feats_hbm, gout_ref, dfeats_hbm, buf, gbuf, sem,
-                wsem, *, tw):
+                wsem, *, tw, npay, nfeat):
     t = pl.program_id(0)
     start = bounds_ref[t]
     count = bounds_ref[t + 1] - start
     px, py = _pix_coords(t, tw)
     tri = _tri_excl()
+    ppr = 128 // nfeat
     nck = (count + CK - 1) // CK
 
-    g_r = gout_ref[0, 0:1, :]
-    g_g = gout_ref[0, 1:2, :]
-    g_b = gout_ref[0, 2:3, :]
-    g_d = gout_ref[0, 3:4, :]
-    g_t = gout_ref[0, 4:5, :]
+    g_pay = gout_ref[0, 0:npay, :]           # (npay, NPIX)
+    g_t = gout_ref[0, npay:npay + 1, :]      # (1, NPIX)
 
     # double-buffered chunk loads (same pattern as the forward kernel): the
     # next chunk's DMA overlaps the current chunk's compute in both sweeps
     def load(i):
-        _chunk_copy(feats_hbm, buf, sem, start, i).wait()
-        return _kernel_unpack(buf[i % 2])
+        _chunk_copy(feats_hbm, buf, sem, start, i, ppr).wait()
+        return _kernel_unpack(buf[i % 2], nfeat)
 
     def prefetch(i):
         @pl.when(i + 1 < nck)
         def _():
-            _chunk_copy(feats_hbm, buf, sem, start, i + 1).start()
+            _chunk_copy(feats_hbm, buf, sem, start, i + 1, ppr).start()
 
     @pl.when(nck > 0)
     def _prefetch0():
-        _chunk_copy(feats_hbm, buf, sem, start, 0).start()
+        _chunk_copy(feats_hbm, buf, sem, start, 0, ppr).start()
+
+    def gdot(f):
+        # per-(gaussian, pixel) payload . dout: (CK, npay) @ (npay, NPIX)
+        return jax.lax.dot(f[:, 6:6 + npay], g_pay,
+                           preferred_element_type=jnp.float32)
 
     # ---- sweep 1: total sum of w*G and final T ----------------------------
     def body1(c):
@@ -386,8 +417,7 @@ def _bwd_kernel(bounds_ref, feats_hbm, gout_ref, dfeats_hbm, buf, gbuf, sem,
         tat = T * jnp.exp(jax.lax.dot(tri, lg0, preferred_element_type=jnp.float32))
         alpha = jnp.where(tat > T_MIN, alpha0, 0.0)
         w = alpha * tat
-        G = f[:, 6:7] * g_r + f[:, 7:8] * g_g + f[:, 8:9] * g_b + f[:, 9:10] * g_d
-        wg = wg + jnp.sum(w * G, axis=0, keepdims=True)
+        wg = wg + jnp.sum(w * gdot(f), axis=0, keepdims=True)
         T = T * jnp.exp(jnp.sum(jnp.log(1.0 - alpha), axis=0, keepdims=True))
         return i + 1, T, wg
 
@@ -401,12 +431,12 @@ def _bwd_kernel(bounds_ref, feats_hbm, gout_ref, dfeats_hbm, buf, gbuf, sem,
 
     @pl.when(i1_end < nck)
     def _drain1():  # early exit leaves the prefetched chunk in flight
-        _chunk_copy(feats_hbm, buf, sem, start, i1_end).wait()
+        _chunk_copy(feats_hbm, buf, sem, start, i1_end, ppr).wait()
 
     # re-prime the pipeline for sweep 2
     @pl.when(nck > 0)
     def _prefetch0b():
-        _chunk_copy(feats_hbm, buf, sem, start, 0).start()
+        _chunk_copy(feats_hbm, buf, sem, start, 0, ppr).start()
 
     tail = t_final * g_t  # contribution of dT_final through every (1-alpha)
 
@@ -416,7 +446,7 @@ def _bwd_kernel(bounds_ref, feats_hbm, gout_ref, dfeats_hbm, buf, gbuf, sem,
     def wr_copy(i, slot):
         return pltpu.make_async_copy(
             gbuf.at[slot],
-            dfeats_hbm.at[pl.ds((start + i * CK) // 8, CK // 8), :],
+            dfeats_hbm.at[pl.ds((start + i * CK) // ppr, CK // ppr), :],
             wsem.at[slot])
 
     def body2(c):
@@ -428,7 +458,7 @@ def _bwd_kernel(bounds_ref, feats_hbm, gout_ref, dfeats_hbm, buf, gbuf, sem,
         tat = T * jnp.exp(jax.lax.dot(tri, lg0, preferred_element_type=jnp.float32))
         alpha = jnp.where(tat > T_MIN, alpha0, 0.0)
         w = alpha * tat
-        G = f[:, 6:7] * g_r + f[:, 7:8] * g_g + f[:, 8:9] * g_b + f[:, 9:10] * g_d
+        G = gdot(f)
         wG = w * G
         # prefix-inclusive sum over ALL earlier pairs (across chunks)
         pref = cum + jax.lax.dot(tri, wG, preferred_element_type=jnp.float32) + wG
@@ -452,20 +482,19 @@ def _bwd_kernel(bounds_ref, feats_hbm, gout_ref, dfeats_hbm, buf, gbuf, sem,
         dcb = rsum(dpow * (-dx * dy))
         dcc = rsum(dpow * (-0.5 * dy * dy))
         dop = rsum(dop_px)
-        dr = rsum(w * g_r)
-        dg = rsum(w * g_g)
-        db = rsum(w * g_b)
-        dd = rsum(w * g_d)
-        zc = jnp.zeros((CK, 1), jnp.float32)
+        # payload grads: (CK, NPIX) @ (npay, NPIX)^T -> (CK, npay)
+        dpay = jax.lax.dot_general(
+            w, g_pay, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
         grads = jnp.concatenate(
-            [dmux, dmuy, dca, dcb, dcc, dop, dr, dg, db, dd,
-             zc, zc, zc, zc, zc, zc], axis=1)
+            [dmux, dmuy, dca, dcb, dcc, dop, dpay,
+             jnp.zeros((CK, nfeat - 6 - npay), jnp.float32)], axis=1)
 
         @pl.when(i >= 2)
         def _reclaim():  # slot reused two iterations later
             wr_copy(i - 2, i % 2).wait()
 
-        gbuf[i % 2] = _kernel_pack(grads)
+        gbuf[i % 2] = _kernel_pack(grads, nfeat)
         wr_copy(i, i % 2).start()
         cum = cum + jnp.sum(wG, axis=0, keepdims=True)
         T = T * jnp.exp(jnp.sum(jnp.log(1.0 - alpha), axis=0, keepdims=True))
@@ -488,25 +517,27 @@ def _bwd_kernel(bounds_ref, feats_hbm, gout_ref, dfeats_hbm, buf, gbuf, sem,
     # (all real writes went through DMA)
 
 
-def _composite_bwd_impl(feats, bounds, gout, *, n_tiles, tw):
+def _composite_bwd_impl(feats, bounds, gout, *, n_tiles, tw, npay):
+    _, nfeat = _npay_nfeat(npay - 4)
+    nout = _nout(npay)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, 8, NPIX), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((1, nout, NPIX), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, CK // 8, 8 * NFEAT), jnp.float32),
-            pltpu.VMEM((2, CK // 8, 8 * NFEAT), jnp.float32),
+            pltpu.VMEM((2, CK * nfeat // 128, 128), jnp.float32),
+            pltpu.VMEM((2, CK * nfeat // 128, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, tw=tw),
+        functools.partial(_bwd_kernel, tw=tw, npay=npay, nfeat=nfeat),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(feats.shape, jnp.float32),
         interpret=_interpret(),
@@ -517,23 +548,27 @@ def _composite_bwd_impl(feats, bounds, gout, *, n_tiles, tw):
 # custom-vjp composite op + public rasterizer
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def composite_tiles(feats, bounds, n_tiles: int, tw: int):
-    """feats (P+CK, NFEAT) sorted pairs -> (n_tiles, 8, NPIX) images
-    [r, g, b, depth, T, ...]."""
-    return _composite_fwd_impl(feats, bounds, n_tiles=n_tiles, tw=tw)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def composite_tiles(feats, bounds, n_tiles: int, tw: int, npay: int = 4):
+    """feats (P_pad/ppr, 128) packed sorted pairs -> (n_tiles, nout, NPIX)
+    images [payload..., T, pad] with payload = [r, g, b, depth, extras...]."""
+    return _composite_fwd_impl(feats, bounds, n_tiles=n_tiles, tw=tw,
+                               npay=npay)
 
 
-def _ct_fwd(feats, bounds, n_tiles, tw):
-    out = _composite_fwd_impl(feats, bounds, n_tiles=n_tiles, tw=tw)
+def _ct_fwd(feats, bounds, n_tiles, tw, npay):
+    out = _composite_fwd_impl(feats, bounds, n_tiles=n_tiles, tw=tw,
+                              npay=npay)
     return out, (feats, bounds)
 
 
-def _ct_bwd(n_tiles, tw, res, gout):
+def _ct_bwd(n_tiles, tw, npay, res, gout):
     feats, bounds = res
-    dfeats = _composite_bwd_impl(feats, bounds, gout, n_tiles=n_tiles, tw=tw)
+    dfeats = _composite_bwd_impl(feats, bounds, gout, n_tiles=n_tiles, tw=tw,
+                                 npay=npay)
     # packed rows past the last padded segment were never visited: zero them.
-    nvalid_rows = bounds[n_tiles] // 8
+    _, nfeat = _npay_nfeat(npay - 4)
+    nvalid_rows = bounds[n_tiles] // (128 // nfeat)
     row = jnp.arange(feats.shape[0], dtype=jnp.int32)[:, None]
     dfeats = jnp.where(row < nvalid_rows, dfeats, 0.0)
     return dfeats, None
@@ -552,20 +587,31 @@ def rasterize_pallas(
     max_pairs: int = 2 ** 21,
     max_rows: int | None = None,
     bg_color=(0.0, 0.0, 0.0),
+    features=None,
 ) -> RasterOut:
     """Pallas-tiled differentiable rasterization (drop-in for
-    rasterize.rasterize, minus the per-tile/per-gaussian capacity caps)."""
+    rasterize.rasterize, minus the per-tile/per-gaussian capacity caps).
+
+    features: optional (N, E) per-gaussian vectors alpha-composited alongside
+    color (e.g. softmaxed semantic class distributions, refine-gs --semantic)
+    and returned as RasterOut.features (H, W, E); E <= 22 extra channels ride
+    the same kernel pass (the pair pack widens from 16 to 32 lanes when
+    E > 6)."""
     tw, th = _tile_grid(width, height)
     n_tiles = tw * th
     proj = project_gaussians(g, K, w2c, width=width, height=height)
     feats, bounds, n_dropped = build_pairs(
         proj, view_colors(g, w2c), width=width, height=height,
-        max_pairs=max_pairs, max_rows=max_rows)
-    out = composite_tiles(feats, bounds, n_tiles, tw)
+        max_pairs=max_pairs, max_rows=max_rows, extras=features)
+    n_extra = 0 if features is None else features.shape[-1]
+    npay = 4 + n_extra
+    out = composite_tiles(feats, bounds, n_tiles, tw, npay)
 
     color = out[:, 0:3, :].transpose(0, 2, 1)   # (n_tiles, NPIX, 3)
     depth = out[:, 3, :]
-    trans = out[:, 4, :]
+    feat = (out[:, 4:4 + n_extra, :].transpose(0, 2, 1)
+            if n_extra else None)
+    trans = out[:, npay, :]
     bg = jnp.asarray(bg_color, jnp.float32)
     color = color + trans[..., None] * bg[None, None]
 
@@ -584,4 +630,5 @@ def rasterize_pallas(
         depth=untile(depth),
         alpha=untile(1.0 - trans),
         n_dropped=n_dropped,
+        features=None if feat is None else untile(feat),
     )

@@ -39,8 +39,8 @@ class GSConfig:
     depth_weight: float = 0.1
     semantic_weight: float = 0.0     # >0 trains a per-gaussian semantic
                                      # field (Gaussians.sem logits) against
-                                     # per-view class-id maps; forces the
-                                     # XLA rasterizer (features channel)
+                                     # per-view class-id maps, composited as
+                                     # extra feature channels (both backends)
     semantic_classes: int = 19       # cityscapes train ids (SegFormer)
     lr_sem: float = 2.5e-3
     appearance: bool = False         # per-view affine color compensation
@@ -176,10 +176,6 @@ def _pick_raster(cfg: GSConfig, width: int, height: int):
     use_pallas = cfg.backend == "pallas" or (
         cfg.backend == "auto" and jax.default_backend() == "tpu"
     )
-    # semantic rendering needs the `features` compositing channel, which only
-    # the XLA path implements (the Pallas kernels' feature pack is fixed)
-    if cfg.semantic_weight > 0:
-        use_pallas = False
     if use_pallas:
         return partial(rasterize_pallas, width=width, height=height,
                        max_pairs=cfg.max_pairs)

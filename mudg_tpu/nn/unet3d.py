@@ -174,11 +174,9 @@ def resblock(p, x, emb, *, batch_size=None, dropout=0.0, drop_rng=None,
         x = F.conv2d(p["skip_connection"], x)
     h = x + h
     if "temopral_conv" in p and batch_size is not None:
-        bt, hh, ww, c = h.shape
-        t = bt // batch_size
-        hv = SP.video(h.reshape(batch_size, t, hh, ww, c), sp)
+        hv = SP.to_video(h, batch_size, sp)
         hv = temporal_conv_block(p["temopral_conv"], hv, dropout=dropout, drop_rng=drop_rng)
-        h = SP.rows(hv.reshape(bt, hh, ww, c), sp)
+        h = SP.to_rows(hv, sp)
     return h
 
 
@@ -215,15 +213,13 @@ def _apply_block(
                 num_tasks=cfg.num_tasks, impl=impl,
             )
         elif ltype == "temporal":
-            bt, hh, ww, c = h.shape
-            t = bt // batch_size
-            hv = SP.video(h.reshape(batch_size, t, hh, ww, c), sp)
+            hv = SP.to_video(h, batch_size, sp)
             hv = A.temporal_transformer(
                 p, hv, heads=args["heads"], depth=cfg.transformer_depth,
                 causal=cfg.use_causal_attention,
                 temporal_length=cfg.temporal_length, impl=impl,
             )
-            h = SP.rows(hv.reshape(bt, hh, ww, c), sp)
+            h = SP.to_rows(hv, sp)
         elif ltype == "down":
             h = downsample(p, h)
         elif ltype == "up":
@@ -333,13 +329,13 @@ def unet_apply(
     for i, plan in enumerate(inp_plan):
         h = run(plan, params["input_blocks"][str(i)], h)
         if i == 0 and cfg.addition_attention:
-            hv = SP.video(h.reshape(b, t, *h.shape[1:]), sp)
+            hv = SP.to_video(h, b, sp)
             hv = A.temporal_transformer(
                 params["init_attn"]["0"], hv, heads=8,
                 depth=cfg.transformer_depth, causal=False,
                 temporal_length=cfg.temporal_length, impl=impl,
             )
-            h = SP.rows(hv.reshape(b * t, *h.shape[1:]), sp)
+            h = SP.to_rows(hv, sp)
         hs.append(h)
 
     h = run(mid_plan, params["middle_block"], h)

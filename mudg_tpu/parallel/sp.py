@@ -15,8 +15,21 @@ spatial<->temporal layout transition (the same reshape boundaries the
 reference rearranges at, openaimodel3d.py:43-45, 591). Per transition each
 chip exchanges activation_bytes/n — a few MB at MDM512 — over ICI.
 
-This is pure annotation: `unet3d.unet_apply(..., sp=...)` inserts
-`with_sharding_constraint` at the transitions; nothing else changes.
+Two transition mechanisms (`unet3d.unet_apply(..., sp=...)` calls
+`to_video`/`to_rows` at each boundary):
+
+  * annotation (explicit=False): `with_sharding_constraint` around the
+    reshape; GSPMD picks the collective. At the rows->video boundary the
+    flattened (B*T) source sharding maps to a TWO-dim (B, T) tiling after
+    the reshape whenever B > 1, and GSPMD has no multi-dim-source
+    all-to-all: it falls back to "[SPMD] Involuntary full rematerialization"
+    (replicate + slice) — observed in MULTICHIP_r02 and reproduced at
+    production-divisible shapes by scripts/sp_hlo.py.
+  * explicit (explicit=True, the default from make_seq_sharding when shapes
+    divide): the boundary is ONE `jax.shard_map` all-to-all — each chip
+    exchanges exactly activation_bytes * (n-1)/n^2 over ICI, the minimal
+    resharding traffic. Differentiable (the transpose of an all-to-all is
+    the reverse all-to-all), so training under sp uses it too.
 
 Interplay with the Pallas kernels: like tensor parallelism (parallel/tp.py),
 the SPMD partitioner cannot partition a tpu_custom_call, so sharded runs
@@ -40,17 +53,36 @@ class SeqSharding:
     video:  applied to (B, T, H, W, C) temporal-layer activations (shards W).
     frames: applied to (B, T, H, W, C) per-frame-independent video tensors
             (shards T) — the frozen VAE encode/decode around the sampler.
+    explicit: emit the spatial<->temporal transitions as explicit
+            shard_map all-to-alls instead of annotation (see module doc);
+            used whenever (B*T) % n == 0 and W % n == 0 at a boundary,
+            falling back to annotation otherwise.
     """
     rows: NamedSharding
     video: NamedSharding
     frames: NamedSharding
+    explicit: bool = True
+
+    @property
+    def mesh(self) -> Mesh:
+        return self.rows.mesh
+
+    @property
+    def axis(self) -> str:
+        return self.rows.spec[0]
+
+    @property
+    def n(self) -> int:
+        return self.mesh.shape[self.axis]
 
 
-def make_seq_sharding(mesh: Mesh, axis: str = "seq") -> SeqSharding:
+def make_seq_sharding(mesh: Mesh, axis: str = "seq", *,
+                      explicit: bool = True) -> SeqSharding:
     return SeqSharding(
         rows=NamedSharding(mesh, P(axis)),
         video=NamedSharding(mesh, P(None, None, None, axis)),
         frames=NamedSharding(mesh, P(None, axis)),
+        explicit=explicit,
     )
 
 
@@ -71,3 +103,52 @@ def video(x, sp: SeqSharding | None):
 
 def frames(x, sp: SeqSharding | None):
     return x if sp is None else constrain(x, sp.frames)
+
+
+def _explicit_ok(sp, bt: int, ww: int) -> bool:
+    return sp.explicit and bt % sp.n == 0 and ww % sp.n == 0
+
+
+def to_video(h, batch_size: int, sp: SeqSharding | None):
+    """Rows-sharded (B*T, H, W, C) -> W-sharded (B, T, H, W, C).
+
+    Explicit mode: ONE all-to-all per boundary — each chip splits its local
+    frame block along W and concatenates the frame blocks it receives, i.e.
+    exactly the resharding the temporal layer needs, with activation/n bytes
+    exchanged per chip. Annotation mode: reshape + with_sharding_constraint
+    (GSPMD replicates when B > 1, see module doc)."""
+    bt, hh, ww, c = h.shape
+    t = bt // batch_size
+    if sp is None:
+        return h.reshape(batch_size, t, hh, ww, c)
+    if _explicit_ok(sp, bt, ww):
+        n, ax = sp.n, sp.axis
+
+        def f(xl):  # xl: (bt/n, H, W, C) local
+            y = jax.lax.all_to_all(xl, ax, split_axis=2, concat_axis=0,
+                                   tiled=True)  # (bt, H, W/n, C)
+            return y.reshape(batch_size, t, hh, ww // n, c)
+
+        return jax.shard_map(
+            f, mesh=sp.mesh, in_specs=P(ax), out_specs=sp.video.spec)(h)
+    return constrain(h.reshape(batch_size, t, hh, ww, c), sp.video)
+
+
+def to_rows(hv, sp: SeqSharding | None):
+    """W-sharded (B, T, H, W, C) -> rows-sharded (B*T, H, W, C): inverse
+    of to_video (the reverse all-to-all in explicit mode)."""
+    b, t, hh, ww, c = hv.shape
+    bt = b * t
+    if sp is None:
+        return hv.reshape(bt, hh, ww, c)
+    if _explicit_ok(sp, bt, ww):
+        n, ax = sp.n, sp.axis
+
+        def f(xl):  # xl: (B, T, H, W/n, C) local
+            y = xl.reshape(bt, hh, ww // n, c)
+            return jax.lax.all_to_all(y, ax, split_axis=0, concat_axis=2,
+                                      tiled=True)  # (bt/n, H, W, C)
+
+        return jax.shard_map(
+            f, mesh=sp.mesh, in_specs=sp.video.spec, out_specs=P(ax))(hv)
+    return constrain(hv.reshape(bt, hh, ww, c), sp.rows)

@@ -1,0 +1,133 @@
+"""Backward-side per-family ablation of the REAL training step (VERDICT
+round-2 item 1): time fwd+bwd of M.training_loss at the training config
+(MDM512, bs=1, impl="train", remat=True), then re-time with one op family
+stubbed to identity at trace time. The difference is that family's integrated
+fwd+replay+bwd cost.
+
+Uses the exact gstep harness from scripts/trainbench.py --grad_only (the
+855 ms round-2 baseline). Each variant pays a full remote compile (~2-5 min).
+
+Run: PYTHONPATH=/root/repo python scripts/fambwd.py [families...]
+(default: all; pass names to run a subset, e.g. `spatial temporal`)
+"""
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import benchcache  # noqa: F401  (persistent compile cache)
+import jax.numpy as jnp
+
+from mudg_tpu.models import mdm as M
+from mudg_tpu.nn import attention as A
+from mudg_tpu.nn import functional as F
+from mudg_tpu.nn import unet3d as U
+from mudg_tpu.train import step as TS
+
+
+def build():
+    cfg = M.MDMConfig()
+    shapes = jax.eval_shape(lambda k: M.init_mdm(k, cfg), jax.random.PRNGKey(0))
+    params = jax.tree.map(lambda s: jnp.full(s.shape, 0.01, jnp.bfloat16), shapes)
+    trainable, frozen = TS.split_params(params)
+
+    bs, t, hh, ww = 1, 16, 320, 512
+    key = jax.random.PRNGKey(1)
+    batch = {
+        "dense_frames": jax.random.uniform(key, (bs, t, hh, ww, 3), minval=-1, maxval=1),
+        "sparse_frames": jax.random.uniform(key, (bs, t, hh, ww, 3), minval=-1, maxval=1),
+        "sparse_depth": jax.random.uniform(key, (bs, t, hh, ww, 3), minval=-1, maxval=1),
+        "tokens": jnp.zeros((bs, 77), jnp.int32),
+        "class_label": jnp.zeros((bs,), jnp.int32),
+        "fps": jnp.full((bs,), 10, jnp.int32),
+    }
+    sched_arrays = M.schedule_arrays(cfg.schedule())
+    null_tokens = jnp.zeros((77,), jnp.int32)
+    return cfg, trainable, frozen, batch, sched_arrays, null_tokens
+
+
+def timed(cfg, trainable, frozen, batch, sched_arrays, null_tokens):
+    null_emb = jax.jit(
+        lambda fz, toks: M.encode_text(fz, cfg, toks[None])
+    )(frozen, null_tokens)
+
+    def loss_fn(tr, fz, batch, key):
+        p = TS.merge_params(tr, fz)
+        loss, _ = M.training_loss(
+            p, cfg, sched_arrays, batch, key,
+            null_emb=null_emb, impl="train", remat=True)
+        return loss
+
+    @jax.jit
+    def gstep(tr, fz, batch, key):
+        loss, grads = jax.value_and_grad(loss_fn)(tr, fz, batch, key)
+        return loss, jax.tree.map(lambda g: jnp.sum(jnp.abs(g)), grads)
+
+    t0 = time.perf_counter()
+    loss, _ = gstep(trainable, frozen, batch, jax.random.PRNGKey(2))
+    _ = float(loss)
+    print(f"  # compile+1st: {time.perf_counter()-t0:.1f}s", flush=True)
+    ts = []
+    for i in range(5):
+        t0 = time.perf_counter()
+        loss, _ = gstep(trainable, frozen, batch, jax.random.PRNGKey(3 + i))
+        _ = float(loss)
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def main():
+    want = [a for a in sys.argv[1:] if not a.startswith("-")]
+    ctx = build()
+
+    base = timed(*ctx)
+    print(f"full fwd+bwd: {base*1e3:7.1f} ms", flush=True)
+
+    saved = {}
+
+    def stub(mod, name, repl):
+        saved[(mod, name)] = getattr(mod, name)
+        setattr(mod, name, repl)
+
+    def restore():
+        for (mod, name), v in saved.items():
+            setattr(mod, name, v)
+        saved.clear()
+
+    variants = {
+        # whole spatial transformer blocks (self+cross attn + FF + proj)
+        "spatial": lambda: stub(A, "spatial_transformer",
+                                lambda p, x, context=None, **kw: x),
+        # whole temporal transformer blocks
+        "temporal": lambda: stub(A, "temporal_transformer",
+                                 lambda p, x, **kw: x),
+        # the GEGLU FFs inside both (overlaps the two above)
+        "ff": lambda: stub(A, "feed_forward_block",
+                           lambda pf, pn, x, impl="auto": x),
+        # temporal conv blocks (4x GN+SiLU+(3,1,1)conv chains)
+        "tconv": lambda: stub(U, "temporal_conv_block", lambda p, x, **kw: x),
+        # all GroupNorms (fp32 island) — replaced by identity
+        "gnorm": lambda: stub(F, "group_norm", lambda p, x, **kw: x),
+        # every attention CORE (flash/dense QK^T+softmax+PV) — projections
+        # kept; broadcast keeps shapes right for cross-attn (Lk != Lq)
+        "attend": lambda: stub(
+            A, "attend",
+            lambda q, k, v, **kw: q + 0 * jnp.mean(v, axis=-2, keepdims=True)),
+    }
+    for name, do in variants.items():
+        if want and name not in want:
+            continue
+        try:
+            do()
+            t = timed(*ctx)
+            print(f"-{name:9s}: {t*1e3:7.1f} ms  (family ~{(base-t)*1e3:6.1f} ms)",
+                  flush=True)
+        except Exception as e:
+            print(f"-{name}: FAIL {type(e).__name__}: {e}", flush=True)
+        finally:
+            restore()
+
+
+if __name__ == "__main__":
+    main()

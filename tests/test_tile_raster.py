@@ -174,3 +174,101 @@ def test_no_per_gaussian_tile_cap():
     assert int(out.n_dropped) == 0
     # covers the whole image, not just a 4x4-tile window around the center
     assert alpha[0, 0] > 0.05 and alpha[-1, -1] > 0.05 and alpha.min() > 0.0
+
+
+def test_features_match_xla_path():
+    """Extra per-gaussian feature channels (the semantic field's class
+    distributions) composite identically on both backends, widening the pair
+    pack to 32 lanes, and the color/depth/alpha outputs are unchanged by the
+    extra payload."""
+    g, K, w2c = _scene(n=200)
+    rng = np.random.default_rng(7)
+    feat = jnp.asarray(jax.nn.softmax(
+        jnp.asarray(rng.normal(0, 2, (g.n, 19)).astype(np.float32)), -1))
+
+    ref = R.rasterize(g, K, w2c, width=WIDTH, height=HEIGHT,
+                      max_per_tile=512, tiles_per_gaussian=36, features=feat)
+    out = TR.rasterize_pallas(g, K, w2c, width=WIDTH, height=HEIGHT,
+                              max_pairs=8192, features=feat)
+    base = TR.rasterize_pallas(g, K, w2c, width=WIDTH, height=HEIGHT,
+                               max_pairs=8192)
+    assert int(out.n_dropped) == 0
+    assert out.features.shape == (HEIGHT, WIDTH, 19)
+    np.testing.assert_allclose(np.asarray(out.features),
+                               np.asarray(ref.features), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out.color), np.asarray(base.color),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out.depth), np.asarray(base.depth),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out.alpha), np.asarray(base.alpha),
+                               atol=2e-5)
+    assert float(jnp.max(out.alpha)) > 0.2
+
+
+def test_feature_gradients_match_xla_path():
+    """Gradients through the widened 32-lane pack: d(loss)/d(features) and
+    d(loss)/d(geometry) agree with the XLA path when compositing a semantic
+    cross-entropy-style loss."""
+    g, K, w2c = _scene(n=120)
+    rng = np.random.default_rng(11)
+    logits0 = jnp.asarray(rng.normal(0, 1, (g.n, 8)).astype(np.float32))
+    tgt = jnp.asarray(rng.integers(0, 8, (HEIGHT, WIDTH)))
+
+    def loss_with(raster):
+        def loss(means, opacity, logits):
+            gg = g._replace(means=means, opacity=opacity)
+            feat = jax.nn.softmax(logits, -1)
+            if raster == "xla":
+                out = R.rasterize(gg, K, w2c, width=WIDTH, height=HEIGHT,
+                                  max_per_tile=512, tiles_per_gaussian=36,
+                                  features=feat)
+            else:
+                out = TR.rasterize_pallas(gg, K, w2c, width=WIDTH,
+                                          height=HEIGHT, max_pairs=8192,
+                                          features=feat)
+            p = out.features / jnp.maximum(out.alpha[..., None], 1e-6)
+            onehot = jax.nn.one_hot(tgt, 8)
+            ce = -jnp.log(jnp.sum(p * onehot, -1).clip(1e-8))
+            mask = (out.alpha > 0.5).astype(jnp.float32)
+            return (jnp.sum(ce * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+                    + jnp.mean((out.color - 0.25) ** 2))
+        return loss
+
+    args = (g.means, g.opacity, logits0)
+    g_ref = jax.grad(loss_with("xla"), argnums=(0, 1, 2))(*args)
+    g_out = jax.grad(loss_with("pallas"), argnums=(0, 1, 2))(*args)
+    for name, a, b in zip(["means", "opacity", "logits"], g_out, g_ref):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(b).max() + 1e-8
+        np.testing.assert_allclose(a, b, atol=2e-3 * scale,
+                                   err_msg=f"grad mismatch for {name}")
+
+
+def test_semantic_training_on_pallas_backend():
+    """refine-gs --semantic now runs on the Pallas backend (no XLA
+    fallback): the semantic logits learn the supervising class map."""
+    from mudg_tpu.gs import train as GT
+    from mudg_tpu.gs import gaussians as G
+
+    K = jnp.asarray([[40.0, 0, 16.0], [0, 40.0, 16.0], [0, 0, 1]])
+    w2c = jnp.eye(4)
+    g = G.Gaussians(
+        means=jnp.asarray([[0.0, 0.0, 4.0]]),
+        log_scales=jnp.full((1, 3), np.log(0.3), jnp.float32),
+        quats=jnp.asarray([[1.0, 0, 0, 0]]),
+        opacity=jnp.asarray([12.0]),  # logit: sigmoid ~ 1
+        colors=jnp.asarray([[0.5, 0.5, 0.5]]),
+        active=jnp.asarray([True]),
+    )
+    target = TR.rasterize_pallas(g, K, w2c, width=32, height=32).color
+    sem_ids = np.full((32, 32), 7, np.int32)
+
+    cfg = GT.GSConfig(densify_every=10_000, semantic_weight=1.0, lr_sem=0.5,
+                      backend="pallas", max_pairs=1024)
+    views = [{"K": K, "w2c": w2c, "rgb": jnp.asarray(target),
+              "sem_ids": jnp.asarray(sem_ids)}]
+    state, history = GT.fit_scene(g, views, cfg, width=32, height=32,
+                                  steps=20, log_every=5)
+    assert state.gaussians.sem is not None
+    assert int(jnp.argmax(state.gaussians.sem[0])) == 7
+    assert history[-1]["loss"] < history[0]["loss"]
