@@ -77,6 +77,12 @@ def main(argv=None):
     p.add_argument("--log_every", type=int, default=50)
     p.add_argument("--seed", type=int, default=20230211)
     p.add_argument("--use_ema", action="store_true")
+    p.add_argument("--remat", default="dots_small",
+                   choices=("full", "dots_small", "dots_gn", "convs", "dots",
+                            "names"),
+                   help="backward recompute policy (docs/STATE.md round-3 "
+                        "ablation: dots_small 742 ms vs full 839 at MDM512 "
+                        "bs=1; use convs/full if activations don't fit)")
     p.add_argument("--profile_dir", default=None, help="jax.profiler trace dir")
     p.add_argument("--val_items", default=None)
     p.add_argument("--val_every", type=int, default=2000)
@@ -180,6 +186,7 @@ def main(argv=None):
     train_step = TS.make_train_step(
         cfg, tc, frozen, sched_arrays, null_tokens, grad_mask=grad_mask,
         impl="xla" if args.tp > 1 else "train",
+        remat=True if args.remat == "full" else args.remat,
     )
 
     ds = WaymoDataset(args.items, video_length=args.video_length,
@@ -250,8 +257,11 @@ def main(argv=None):
                                   jnp.asarray(step_i, jnp.int32))
         elif w_step is not None:
             step_i, latest = w_step, w_dir
+            # step_N artifacts carry the frozen towers (standalone render);
+            # keep only the trainable subset here
             state = state._replace(
-                params=C.load_pytree(os.path.join(args.out, latest)),
+                params=TS.split_params(
+                    C.load_pytree(os.path.join(args.out, latest)))[0],
                 step=jnp.asarray(step_i, jnp.int32),
             )
         if w_step is not None or f_step is not None:
@@ -314,8 +324,13 @@ def main(argv=None):
                 if save_weights or save_full:
                     host_params = jax.device_get(state.params)
                 if save_weights:
+                    # weights-only artifacts carry the frozen towers too so
+                    # render_infer can run from them standalone (the
+                    # reference's Lightning .ckpt likewise contains the
+                    # first/cond-stage weights, ddpm3d.py state_dict)
                     C.save_pytree(
-                        os.path.join(args.out, f"step_{step_i}"), host_params)
+                        os.path.join(args.out, f"step_{step_i}"),
+                        TS.merge_params(host_params, jax.device_get(frozen)))
                 if save_full:
                     C.save_pytree(
                         os.path.join(args.out, f"trainstate_{step_i}"),
@@ -329,7 +344,9 @@ def main(argv=None):
     finally:
         if args.profile_dir:
             jax.profiler.stop_trace()
-    C.save_pytree(os.path.join(args.out, "final"), jax.device_get(state.params))
+    C.save_pytree(os.path.join(args.out, "final"),
+                  TS.merge_params(jax.device_get(state.params),
+                                  jax.device_get(frozen)))
     print("training done")
 
 

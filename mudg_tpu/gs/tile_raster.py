@@ -196,16 +196,40 @@ def build_pairs(proj, colors, *, width: int, height: int, max_pairs: int,
     n_dropped = (jnp.maximum(total - max_pairs, 0)
                  + jnp.maximum(total_rows - max_rows, 0))
 
-    # (tile, depth) lexicographic order in ONE variadic sort: lax.sort with
-    # num_keys=2 sorts by tile then depth and carries gi along, replacing two
-    # stable argsorts + two permutation gathers (the round-2 profile's
-    # dominant build_pairs cost at millions of pairs)
+    # (tile, depth) order via ONE fused i32 key: tile id in the high bits,
+    # depth quantized to the remaining `db` bits (the reference's CUDA
+    # rasterizer packs tile|depth-bits into a u64 radix key the same way,
+    # diff-gaussian-rasterization duplicateWithKeys). Sorting a single i32
+    # key with the gaussian index carried is cheaper than the previous
+    # (tile, depth, gi) num_keys=2 variadic sort — the sort moves 8 B/pair
+    # instead of 12 and compares one word instead of two. Depth order
+    # inversions are only possible between gaussians closer than
+    # range/2^db (db >= 14 -> sub-cm at city scale) and only reorder the
+    # alpha compositing of near-coincident splats; payload depths stay
+    # exact f32. Falls back to the lexicographic sort if the tile count
+    # ever leaves fewer than 14 depth bits.
     depth = proj.depths[gi]
-    tile_s, _, gi_s = jax.lax.sort((tile_id, depth, gi), num_keys=2)
-
-    bounds = jnp.searchsorted(
-        tile_s, jnp.arange(n_tiles + 1, dtype=jnp.int32)
-    ).astype(jnp.int32)
+    db = 31 - int(n_tiles + 1).bit_length()
+    if db >= 14:
+        dmin = jnp.min(jnp.where(proj.visible, proj.depths, jnp.inf))
+        dmax = jnp.max(jnp.where(proj.visible, proj.depths, -jnp.inf))
+        qscale = ((1 << db) - 1) / jnp.maximum(dmax - dmin, 1e-12)
+        # clamp in INT space: (1<<db)-1 is not f32-representable for db>24,
+        # so a float-space clip rounds up to 1<<db and the top depth bit
+        # would bleed into the tile id
+        dq = jnp.clip(
+            jnp.clip((depth - dmin) * qscale, 0, None).astype(jnp.int32),
+            0, (1 << db) - 1)
+        key = (tile_id << db) | dq
+        key_s, gi_s = jax.lax.sort((key, gi), num_keys=1)
+        bounds = jnp.searchsorted(
+            key_s, jnp.arange(n_tiles + 1, dtype=jnp.int32) << db
+        ).astype(jnp.int32)
+    else:  # pragma: no cover - >131k tiles
+        tile_s, _, gi_s = jax.lax.sort((tile_id, depth, gi), num_keys=2)
+        bounds = jnp.searchsorted(
+            tile_s, jnp.arange(n_tiles + 1, dtype=jnp.int32)
+        ).astype(jnp.int32)
 
     # pad every tile segment to a CK multiple (DMA chunks must align with the
     # 128-pair packing groups). Padded slot -> tile via scatter+cummax (row

@@ -304,7 +304,9 @@ def feed_forward(p, x, impl="auto"):
         if ok:
             b1, b2 = _ff_biases(p, x, w1, w2)
             return M.fused_geglu_ff(x, w1, b1, w2, b2)
-    h = F.linear(p["net"]["0"]["proj"], x)
+    # tag="ff_inner": the (M, 8C) intermediate must NOT be kept by the
+    # selective-remat policies (210 MB per ds1 FF at bs=1 — recompute it)
+    h = F.linear(p["net"]["0"]["proj"], x, tag="ff_inner")
     h, gate = jnp.split(h, 2, axis=-1)
     h = h * F.gelu(gate)
     return F.linear(p["net"]["2"], h)

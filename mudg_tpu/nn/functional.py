@@ -28,6 +28,7 @@ import math
 from typing import Sequence
 
 import jax
+from jax.ad_checkpoint import checkpoint_name
 import jax.numpy as jnp
 import numpy as np
 
@@ -48,14 +49,19 @@ def _weight(p, dtype):
     return p["weight"].astype(dtype)
 
 
-def linear(p, x):
+def linear(p, x, tag: str | None = "mm_out"):
+    """tag: checkpoint_name on the output (identity outside jax.checkpoint).
+    Under the selective-remat policies in unet3d.unet_apply the backward
+    replay keeps tagged outputs instead of re-running the matmul; callers
+    with huge outputs (the GEGLU 8C inner) pass a non-default tag so the
+    policy can exclude them."""
     if "weight_i8" in p:
         return _quant().linear_i8(p, x)
     w = _weight(p, x.dtype)
     y = x @ w
     if "bias" in p and p["bias"] is not None:
         y = y + p["bias"].astype(x.dtype)
-    return y
+    return checkpoint_name(y, tag) if tag else y
 
 
 def conv2d(p, x, stride: int | tuple = 1, padding="SAME", groups: int = 1):
@@ -78,7 +84,7 @@ def conv2d(p, x, stride: int | tuple = 1, padding="SAME", groups: int = 1):
     )
     if "bias" in p and p["bias"] is not None:
         y = y + p["bias"].astype(x.dtype)
-    return y
+    return checkpoint_name(y, "conv_out")
 
 
 def batch_norm(p, x, eps: float = 1e-5):
@@ -126,7 +132,7 @@ def temporal_conv311(p, x):
     y = y + jnp.pad(x[:, 1:] @ w2, ((0, 0), (0, 1), (0, 0), (0, 0), (0, 0)))
     if "bias" in p and p["bias"] is not None:
         y = y + p["bias"].astype(x.dtype)
-    return y
+    return checkpoint_name(y, "tconv_out")
 
 
 def conv3d(p, x, stride=1, padding="SAME"):
@@ -181,7 +187,9 @@ def group_norm(p, x, num_groups: int = 32, eps: float = 1e-5):
         from ..kernels import norms
 
         if norms.group_norm_fits(x):
-            return norms.fused_group_norm(x, p["weight"], p["bias"], num_groups, eps)
+            return checkpoint_name(
+                norms.fused_group_norm(x, p["weight"], p["bias"], num_groups,
+                                       eps), "gn_out")
     # Layout-preserving formulation: reduce per-CHANNEL over the spatial dims
     # (lane dim stays C), then combine channels into group stats on the tiny
     # (N, C) tensor. The obvious reshape-to-(..., G, C/G) splits the lane
@@ -209,7 +217,9 @@ def group_norm(p, x, num_groups: int = 32, eps: float = 1e-5):
     var = group_mean(jnp.sum(centered * centered, axis=spatial_axes))
     xf = centered * jax.lax.rsqrt(var + eps).reshape(bshape)
     xf = xf * p["weight"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
-    return xf.astype(orig_dtype)
+    # tag: the fp32-island stats are the expensive part of a backward
+    # replay; the "dots_gn" policy saves this (bf16) output to skip them
+    return checkpoint_name(xf.astype(orig_dtype), "gn_out")
 
 
 def layer_norm(p, x, eps: float = 1e-5):

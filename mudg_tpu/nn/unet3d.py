@@ -315,8 +315,32 @@ def unet_apply(
             # per block in the backward.
             # remat="dots": save ALL matmul/conv outputs — OOMs at MDM512
             # bs=1 single-chip (docs/STATE.md); kept for sharded scales.
+            # remat="dots_small": save every tagged matmul/conv output
+            # (qkv/out projections, resblock convs, temporal convs) but
+            # recompute the cheap elementwise/norm chains and the huge
+            # GEGLU inners (tag "ff_inner", excluded) — the backward
+            # replay then skips re-running the MXU-heavy ops without the
+            # remat="dots" policy's OOM (it kept the 8C FF intermediates).
+            # remat="convs": like dots_small minus the attention/proj
+            # linears — half the activation HBM, for tighter configs.
             if remat == "dots":
                 policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            elif remat == "dots_small":
+                policy = jax.checkpoint_policies.save_only_these_names(
+                    "mm_out", "conv_out", "tconv_out",
+                    "blk_attn1", "blk_attn2", "blk_ff")
+            elif remat == "dots_gn":
+                # dots_small + GroupNorm outputs: the fp32-island GN stats
+                # are the costliest non-matmul replay (83 ms family cost at
+                # MDM512 bs=1, docs/STATE.md round 3); saving the bf16 GN
+                # output skips them at ~26 MB per GN at bs=1.
+                policy = jax.checkpoint_policies.save_only_these_names(
+                    "mm_out", "conv_out", "tconv_out", "gn_out",
+                    "blk_attn1", "blk_attn2", "blk_ff")
+            elif remat == "convs":
+                policy = jax.checkpoint_policies.save_only_these_names(
+                    "conv_out", "tconv_out",
+                    "blk_attn1", "blk_attn2", "blk_ff")
             elif remat == "names":
                 policy = jax.checkpoint_policies.save_only_these_names(
                     "blk_attn1", "blk_attn2", "blk_ff")

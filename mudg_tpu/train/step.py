@@ -226,7 +226,7 @@ def make_train_step(
     *,
     grad_mask=None,
     impl: str = "train",
-    remat: bool = True,
+    remat: bool | str = "dots_small",
     donate: bool = True,
     sp=None,
 ):
@@ -243,6 +243,12 @@ def make_train_step(
     layers). An activation-memory and latency lever for MDM1024-scale
     training when the per-clip activations outgrow one chip; requires
     impl="xla" (the SPMD partitioner cannot split Pallas calls).
+
+    remat: True = full per-block recompute; "dots_small" (default) saves
+    tagged matmul/conv/attention-block outputs but recomputes norm chains
+    and the GEGLU 8C inners — measured 742 vs 839 ms/step at MDM512 bs=1
+    single-chip (scripts/rematab.py, docs/STATE.md round 3); "convs" saves
+    half the activation HBM for tighter configs (751 ms).
     """
     opt = make_optimizer(tc)
 

@@ -20,15 +20,23 @@ from mudg_tpu.nn import functional as F
 from mudg_tpu.nn import unet3d as U
 
 BWD = "--bwd" in sys.argv
+PRESET = "mdm1024" if "--preset=mdm1024" in sys.argv else "mdm512"
 
 
 def build():
-    cfg = U.UNetConfig()
+    if PRESET == "mdm1024":
+        from mudg_tpu.models import presets
+
+        cfg = presets.get("mdm1024").unet
+        hh, ww = 72, 128
+    else:
+        cfg = U.UNetConfig()
+        hh, ww = 40, 64
     params = jax.tree.map(
         lambda s: jnp.full(s.shape, 0.01, jnp.bfloat16),
         jax.eval_shape(lambda k: U.init_unet(k, cfg), jax.random.PRNGKey(0)))
     b = 1 if BWD else 2
-    t, hh, ww = 16, 40, 64
+    t = 16
     x = jax.random.normal(jax.random.PRNGKey(1), (b, t, hh, ww, cfg.in_channels),
                           jnp.bfloat16) * 0.1
     ts = jnp.full((b,), 500, jnp.int32)
@@ -122,6 +130,10 @@ def main():
         "temporal_conv": lambda: stub(
             U, "temporal_conv_block",
             lambda *a, **k: a[1]) if hasattr(U, "temporal_conv_block") else None,
+        # attention CORES only (projections kept); scalar-mean keeps v in the
+        # graph without shape coupling (cross-attn Lk != Lq, image-KV splits)
+        "attend": lambda: stub(
+            A, "attend", lambda q, k, v, **kw: q + 0.0 * jnp.mean(v)),
     }
     for name, do in variants.items():
         try:

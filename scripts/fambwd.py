@@ -110,10 +110,10 @@ def main():
         # all GroupNorms (fp32 island) — replaced by identity
         "gnorm": lambda: stub(F, "group_norm", lambda p, x, **kw: x),
         # every attention CORE (flash/dense QK^T+softmax+PV) — projections
-        # kept; broadcast keeps shapes right for cross-attn (Lk != Lq)
+        # kept; scalar-mean keeps v in the graph without shape coupling
+        # (cross-attn has Lk != Lq and image-KV a different head split)
         "attend": lambda: stub(
-            A, "attend",
-            lambda q, k, v, **kw: q + 0 * jnp.mean(v, axis=-2, keepdims=True)),
+            A, "attend", lambda q, k, v, **kw: q + 0.0 * jnp.mean(v)),
     }
     for name, do in variants.items():
         if want and name not in want:

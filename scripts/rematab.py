@@ -68,9 +68,11 @@ def timeit(f, args, n=4):
 
 
 def main():
+    want = sys.argv[1:] or ["True", "dots_small", "convs"]
+    variants = [True if v == "True" else v for v in want]
     make_gstep, tr, fz, batch = build()
     out = {}
-    for remat in (True, "names"):
+    for remat in variants:
         f = jax.jit(make_gstep(remat))
         print(f"# compiling remat={remat}", flush=True)
         t0 = time.perf_counter()
@@ -83,9 +85,11 @@ def main():
             print(f"remat={remat}: FAIL {type(e).__name__} "
                   f"{str(e).splitlines()[0][:120]}", flush=True)
         f.clear_cache()
-    if len(out) == 2:
-        print(f"delta: names-policy is {100*(out[True]-out['names'])/out[True]:+.1f}% vs full-remat",
-              flush=True)
+    if True in out:
+        for k, v in out.items():
+            if k is not True:
+                print(f"delta: {k} is {100*(out[True]-v)/out[True]:+.1f}% "
+                      "vs full-remat", flush=True)
 
 
 if __name__ == "__main__":
