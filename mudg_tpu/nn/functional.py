@@ -236,7 +236,7 @@ def layer_norm(p, x, eps: float = 1e-5):
     var = jnp.var(xf, axis=-1, keepdims=True)
     xf = (xf - mean) * jax.lax.rsqrt(var + eps)
     xf = xf * p["weight"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
-    return xf.astype(orig_dtype)
+    return checkpoint_name(xf.astype(orig_dtype), "ln_out")
 
 
 def silu(x):

@@ -329,6 +329,17 @@ def unet_apply(
                 policy = jax.checkpoint_policies.save_only_these_names(
                     "mm_out", "conv_out", "tconv_out",
                     "blk_attn1", "blk_attn2", "blk_ff")
+            elif remat == "dots_ln":
+                # dots_gn + LayerNorm outputs (attention-block pre-norms,
+                # another fp32-stat island recomputed in the replay)
+                policy = jax.checkpoint_policies.save_only_these_names(
+                    "mm_out", "conv_out", "tconv_out", "gn_out", "ln_out",
+                    "blk_attn1", "blk_attn2", "blk_ff")
+            elif remat == "except_ff":
+                # save EVERY intermediate except the tagged GEGLU 8C inners
+                # — probes how close to remat=False the HBM allows
+                policy = jax.checkpoint_policies.save_anything_except_these_names(
+                    "ff_inner")
             elif remat == "dots_gn":
                 # dots_small + GroupNorm outputs: the fp32-island GN stats
                 # are the costliest non-matmul replay (83 ms family cost at

@@ -226,7 +226,7 @@ def make_train_step(
     *,
     grad_mask=None,
     impl: str = "train",
-    remat: bool | str = "dots_small",
+    remat: bool | str = "dots_ln",
     donate: bool = True,
     sp=None,
 ):
@@ -244,11 +244,13 @@ def make_train_step(
     training when the per-clip activations outgrow one chip; requires
     impl="xla" (the SPMD partitioner cannot split Pallas calls).
 
-    remat: True = full per-block recompute; "dots_small" (default) saves
-    tagged matmul/conv/attention-block outputs but recomputes norm chains
-    and the GEGLU 8C inners — measured 742 vs 839 ms/step at MDM512 bs=1
-    single-chip (scripts/rematab.py, docs/STATE.md round 3); "convs" saves
-    half the activation HBM for tighter configs (751 ms).
+    remat: True = full per-block recompute; "dots_ln" (default) saves
+    tagged matmul/conv/attention-block AND GroupNorm/LayerNorm outputs but
+    still recomputes the GEGLU 8C inners — measured 724 ms/step at MDM512
+    bs=1 single-chip vs 742 "dots_small" (no norm saves) and 839 full remat
+    (scripts/rematab.py, docs/STATE.md round 3); "convs" saves half the
+    activation HBM for tighter configs (751 ms). "except_ff" (save
+    everything but the 8C inners) fails to compile at bs=1 — HBM wall.
     """
     opt = make_optimizer(tc)
 

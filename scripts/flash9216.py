@@ -128,6 +128,8 @@ def main():
     ref = None
     for name, kern, bq, halves in [
         ("oneshot bq=128 (cur)", _split_kernel, 128, 1),
+        ("oneshot bq=256", _split_kernel, 256, 1),
+        ("split 2x128", _split_kernel, 256, 2),
         ("split 2x64", _split_kernel, 128, 2),
         ("staged 2x64", _staged_kernel, 128, 2),
         ("staged 2x128", _staged_kernel, 256, 2),

@@ -68,9 +68,17 @@ def timeit(f, args, n=4):
 
 
 def main():
-    want = sys.argv[1:] or ["True", "dots_small", "convs"]
+    bs = 1
+    want = []
+    for v in sys.argv[1:]:
+        if v.startswith("--bs="):
+            bs = int(v.split("=")[1])
+        else:
+            want.append(v)
+    want = want or ["True", "dots_small", "convs"]
     variants = [True if v == "True" else v for v in want]
-    make_gstep, tr, fz, batch = build()
+    make_gstep, tr, fz, batch = build(bs)
+    print(f"# bs={bs} (per-CLIP cost = step_ms / bs)", flush=True)
     out = {}
     for remat in variants:
         f = jax.jit(make_gstep(remat))

@@ -206,6 +206,33 @@ def test_zero_sharding_specs():
     assert spec2 == jax.sharding.PartitionSpec()
 
 
+def test_remat_policies_same_grads(setup):
+    """Selective-remat policies change WHAT the backward replays, never the
+    math: loss and every grad leaf must be identical to the no-remat graph
+    (the TPU default is dots_ln; docs/STATE.md round-3 ablation)."""
+    cfg, params, arrays, null = setup
+    trainable, frozen = TS.split_params(params)
+    batch = _batch(21)
+    rng = jax.random.PRNGKey(22)
+    null_emb = M.encode_text(params, cfg, null[None])
+
+    def grads(remat):
+        def f(tr):
+            loss, _ = M.training_loss(
+                TS.merge_params(tr, frozen), cfg, arrays, batch, rng,
+                null_emb=null_emb, impl="xla", remat=remat)
+            return loss
+        return jax.jit(jax.value_and_grad(f))(trainable)
+
+    l_ref, g_ref = grads(False)
+    for policy in ("dots_ln", "dots_gn", "dots_small"):
+        l, g = grads(policy)
+        assert abs(float(l) - float(l_ref)) < 1e-6, policy
+        for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6, err_msg=policy)
+
+
 def test_lr_schedules():
     """ddpm3d.py:1007-1031 schedulers: warmup-lambda + cosine anneal."""
     tc = TS.TrainConfig(learning_rate=1e-3, scheduler="lambda_warmup",
