@@ -19,6 +19,13 @@ Two shapes dominate outside the long spatial self-attention:
 Both run the softmax in fp32 (parity island) with bf16 MXU operands; both
 fall back to interpret mode off-TPU. Forward-only kernels with XLA-math
 custom VJPs (recompute; these shapes are cheap relative to flash attention).
+
+STATUS (kept deliberately, round-2 decision): measured SLOWER than dense XLA
+on v5e (1.77 vs 1.28 ms / 0.71 vs 0.45 ms, docs/STATE.md) — the fold/unfold
+transposes and per-pack loops eat the MXU gain, and the round-2 XLA
+block-diagonal packing (`attention._blockdiag_small_attend`) captured the
+same idea faster in plain einsums. Opt-in behind MUDG_SHORT_ATTN=1; in-tree
+as the documented negative result that stops the experiment being redone.
 """
 from __future__ import annotations
 

@@ -21,6 +21,11 @@ from mudg_tpu.nn import unet3d as U
 
 BWD = "--bwd" in sys.argv
 PRESET = "mdm1024" if "--preset=mdm1024" in sys.argv else "mdm512"
+REMAT = True  # training-config replay policy for --bwd (see train/step.py)
+for _a in sys.argv:
+    if _a.startswith("--remat="):
+        _v = _a.split("=", 1)[1]
+        REMAT = True if _v == "True" else _v
 
 
 def build():
@@ -100,7 +105,7 @@ def main():
     cfg, params, args = build()
     if BWD:
         fn = lambda p, x, ts, ctx, lab, fs: U.unet_apply(
-            p, cfg, x, ts, ctx, c_label=lab, fs=fs, impl="train", remat=True)
+            p, cfg, x, ts, ctx, c_label=lab, fs=fs, impl="train", remat=REMAT)
     else:
         fn = lambda p, x, ts, ctx, lab, fs: U.unet_apply(
             p, cfg, x, ts, ctx, c_label=lab, fs=fs)
