@@ -77,13 +77,15 @@ def main(argv=None):
     p.add_argument("--log_every", type=int, default=50)
     p.add_argument("--seed", type=int, default=20230211)
     p.add_argument("--use_ema", action="store_true")
-    p.add_argument("--remat", default="dots_ln",
+    p.add_argument("--remat", default="dots_attn",
                    choices=("full", "dots_small", "dots_gn", "dots_ln",
-                            "convs", "dots", "names", "except_ff"),
+                            "dots_attn", "convs", "dots", "names",
+                            "except_ff"),
                    help="backward recompute policy (docs/STATE.md round-3 "
-                        "ablation: dots_ln 724 ms, dots_gn 726, dots_small "
-                        "742, full 839 at MDM512 bs=1; use convs/full if "
-                        "activations don't fit)")
+                        "ablation: dots_attn 727 ms vs dots_ln 732 same-"
+                        "process; dots_gn 726, dots_small 742, full 839 at "
+                        "MDM512 bs=1; use convs/full if activations don't "
+                        "fit)")
     p.add_argument("--profile_dir", default=None, help="jax.profiler trace dir")
     p.add_argument("--val_items", default=None)
     p.add_argument("--val_every", type=int, default=2000)

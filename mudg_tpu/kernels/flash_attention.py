@@ -19,6 +19,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -300,11 +301,24 @@ def _flash_bwd(q, k, v, o, lse, do):
 # ---------------------------------------------------------------------------
 # Public op with custom VJP, (B, L, H, D) layout
 # ---------------------------------------------------------------------------
+# Structure: the raw forward kernel runs OUTSIDE the custom_vjp (on
+# stop_gradient'ed operands, so no tangent ever reaches the pallas_call) and
+# its (o, lse) outputs are checkpoint_name-tagged; `_attach_grad` is an
+# identity custom_vjp whose residuals are all INPUTS. Under jax.checkpoint
+# with a save_only_these_names policy that includes "attn_o"/"attn_lse"
+# (remat="dots_attn", the training default), the backward replay substitutes
+# the saved o/lse and the forward kernel is dead-code-eliminated from the
+# replay — the bwd kernels run without paying a second forward. Policies
+# that don't save the names (remat=True etc.) replay the kernel as before.
 
-@jax.custom_vjp
+
 def flash_attention(q, k, v):
-    o, _ = _flash_fwd(*_fold(q, k, v))
-    return _unfold(o, q.shape)
+    qf, kf, vf = _fold(q, k, v)
+    o, lse = _flash_fwd(jax.lax.stop_gradient(qf), jax.lax.stop_gradient(kf),
+                        jax.lax.stop_gradient(vf))
+    o = checkpoint_name(o, "attn_o")
+    lse = checkpoint_name(lse, "attn_lse")
+    return _unfold(_attach_grad(qf, kf, vf, o, lse), q.shape)
 
 
 def _fold(q, k, v):
@@ -320,20 +334,21 @@ def _unfold(x, qshape):
     return x.reshape(b, h, l, d).transpose(0, 2, 1, 3)
 
 
-def _fwd_rule(q, k, v):
-    qf, kf, vf = _fold(q, k, v)
-    o, lse = _flash_fwd(qf, kf, vf)
-    return _unfold(o, q.shape), (qf, kf, vf, o, lse, q.shape)
+@jax.custom_vjp
+def _attach_grad(qf, kf, vf, o, lse):
+    """Identity on o carrying the FlashAttention-2 backward. o/lse arrive
+    stop_gradient'ed (pure kernel outputs); gradients flow to q/k/v only."""
+    return o
 
 
-def _bwd_rule(res, g):
-    qf, kf, vf, o, lse, qshape = res
-    b, l, h, d = g.shape
-    gf = g.transpose(0, 2, 1, 3).reshape(b * h, l, d)
+def _ag_fwd(qf, kf, vf, o, lse):
+    return o, (qf, kf, vf, o, lse)
+
+
+def _ag_bwd(res, gf):
+    qf, kf, vf, o, lse = res
     dq, dk, dv = _flash_bwd(qf, kf, vf, o, lse, gf)
-    return _unfold(dq, qshape), _unfold(dk, (b, kf.shape[1], h, d)), _unfold(
-        dv, (b, vf.shape[1], h, d)
-    )
+    return dq, dk, dv, jnp.zeros_like(o), jnp.zeros_like(lse)
 
 
-flash_attention.defvjp(_fwd_rule, _bwd_rule)
+_attach_grad.defvjp(_ag_fwd, _ag_bwd)

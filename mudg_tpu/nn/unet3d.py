@@ -19,6 +19,7 @@ ResBlock, TemporalConvBlock, Down/Upsample, lines 19-628):
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Sequence
 
 import jax
@@ -131,9 +132,34 @@ def block_plan(cfg: UNetConfig):
 # Layer forwards
 # ---------------------------------------------------------------------------
 
-def temporal_conv_block(p, x, *, drop_rng=None, dropout=0.0):
+def temporal_conv_block(p, x, *, drop_rng=None, dropout=0.0, impl="auto"):
     """TemporalConvBlock (openaimodel3d.py:239-279): four GN->SiLU->Conv3d(3,1,1)
-    stages with zero-init conv4; residual. x: (B, T, H, W, C)."""
+    stages with zero-init conv4; residual. x: (B, T, H, W, C).
+
+    On TPU inference each stage runs as one fused Pallas kernel
+    (kernels/tconv.py: folded-GN + SiLU + lane-concat 3-tap matmul — 2.5x
+    the XLA chain at MDM1024 ds1, one HBM read+write per stage). Training
+    (impl="train") and dropout keep the shifted-matmul XLA path, whose
+    backward is plain XLA (the kernel's custom_vjp would replay)."""
+    use_fused = (
+        impl == "auto"
+        and (drop_rng is None or dropout <= 0.0)
+        and os.environ.get("MUDG_FUSED_TCONV", "1") == "1"
+    )
+    if use_fused:
+        from ..kernels import tconv as TC
+
+        use_fused = all(
+            TC.eligible(x, stage)
+            for stage in (p["conv1"]["2"], p["conv2"]["3"],
+                          p["conv3"]["3"], p["conv4"]["3"])
+        )
+    if use_fused:
+        h = TC.fused_gn_silu_tconv(x, p["conv1"]["0"], p["conv1"]["2"])
+        h = TC.fused_gn_silu_tconv(h, p["conv2"]["0"], p["conv2"]["3"])
+        h = TC.fused_gn_silu_tconv(h, p["conv3"]["0"], p["conv3"]["3"])
+        h = TC.fused_gn_silu_tconv(h, p["conv4"]["0"], p["conv4"]["3"])
+        return x + h
     identity = x
     h = F.conv3d(p["conv1"]["2"], F.silu(F.group_norm(p["conv1"]["0"], x)))
     h = F.silu(F.group_norm(p["conv2"]["0"], h))
@@ -158,7 +184,7 @@ def _dropout(x, rate, rng):
 
 
 def resblock(p, x, emb, *, batch_size=None, dropout=0.0, drop_rng=None,
-             sp=None):
+             sp=None, impl="auto"):
     """ResBlock (+optional TemporalConvBlock), openaimodel3d.py:109-236.
 
     x: (B*T, H, W, C), emb: (B*T, emb_dim). batch_size enables the temporal
@@ -175,7 +201,8 @@ def resblock(p, x, emb, *, batch_size=None, dropout=0.0, drop_rng=None,
     h = x + h
     if "temopral_conv" in p and batch_size is not None:
         hv = SP.to_video(h, batch_size, sp)
-        hv = temporal_conv_block(p["temopral_conv"], hv, dropout=dropout, drop_rng=drop_rng)
+        hv = temporal_conv_block(p["temopral_conv"], hv, dropout=dropout,
+                                 drop_rng=drop_rng, impl=impl)
         h = SP.to_rows(hv, sp)
     return h
 
@@ -205,7 +232,7 @@ def _apply_block(
             h = F.conv2d(p, h)
         elif ltype == "res":
             h = resblock(p, h, emb, batch_size=batch_size, dropout=dropout,
-                         drop_rng=drop_rng, sp=sp)
+                         drop_rng=drop_rng, sp=sp, impl=impl)
         elif ltype == "spatial":
             h = A.spatial_transformer(
                 p, h, context, heads=args["heads"], depth=cfg.transformer_depth,
@@ -334,6 +361,17 @@ def unet_apply(
                 # another fp32-stat island recomputed in the replay)
                 policy = jax.checkpoint_policies.save_only_these_names(
                     "mm_out", "conv_out", "tconv_out", "gn_out", "ln_out",
+                    "blk_attn1", "blk_attn2", "blk_ff")
+            elif remat == "dots_attn":
+                # dots_ln + the flash-attention kernel outputs (o, lse):
+                # kernels/flash_attention tags them and attaches the
+                # FA-2 backward via an inputs-only-residual custom_vjp, so
+                # the backward replay substitutes the saved o/lse and the
+                # forward kernel is DCE'd from the replay — one flash fwd
+                # per site instead of two. ~27 MB per ds1 site at bs=1.
+                policy = jax.checkpoint_policies.save_only_these_names(
+                    "mm_out", "conv_out", "tconv_out", "gn_out", "ln_out",
+                    "attn_o", "attn_lse",
                     "blk_attn1", "blk_attn2", "blk_ff")
             elif remat == "except_ff":
                 # save EVERY intermediate except the tagged GEGLU 8C inners

@@ -226,7 +226,7 @@ def make_train_step(
     *,
     grad_mask=None,
     impl: str = "train",
-    remat: bool | str = "dots_ln",
+    remat: bool | str = "dots_attn",
     donate: bool = True,
     sp=None,
 ):
@@ -244,13 +244,17 @@ def make_train_step(
     training when the per-clip activations outgrow one chip; requires
     impl="xla" (the SPMD partitioner cannot split Pallas calls).
 
-    remat: True = full per-block recompute; "dots_ln" (default) saves
-    tagged matmul/conv/attention-block AND GroupNorm/LayerNorm outputs but
-    still recomputes the GEGLU 8C inners — measured 724 ms/step at MDM512
-    bs=1 single-chip vs 742 "dots_small" (no norm saves) and 839 full remat
-    (scripts/rematab.py, docs/STATE.md round 3); "convs" saves half the
-    activation HBM for tighter configs (751 ms). "except_ff" (save
-    everything but the 8C inners) fails to compile at bs=1 — HBM wall.
+    remat: True = full per-block recompute; "dots_attn" (default) saves
+    tagged matmul/conv/attention-block, GroupNorm/LayerNorm AND flash
+    kernel (o, lse) outputs — the backward replay substitutes the saved
+    attention outputs so the flash forward kernel never reruns (verified
+    via jaxpr pallas-call counts) — but still recomputes the GEGLU 8C
+    inners. Measured 727 ms/step at MDM512 bs=1 single-chip vs 732
+    "dots_ln" (same process; earlier session: 724/742/839 for
+    dots_ln/dots_small/full — scripts/rematab.py, docs/STATE.md round 3);
+    "convs" saves half the activation HBM for tighter configs (751 ms).
+    "except_ff" (save everything but the 8C inners) fails to compile at
+    bs=1 — HBM wall.
     """
     opt = make_optimizer(tc)
 

@@ -51,7 +51,7 @@ def gn_scale_shift(p, x, num_groups=32, eps=1e-5):
 
 
 def _silu_norm(xb, sc, sh):
-    xf = xb.astype(jnp.float32) * sc + sh
+    xf = xb.astype(jnp.float32) * sc[0] + sh[0]
     return (xf * jax.nn.sigmoid(xf)).astype(jnp.bfloat16)
 
 
@@ -89,8 +89,13 @@ def fused_stage(x, p_gn, p_conv, variant="3dot", hwc=128):
     w0, w1, w2 = wt[0, 0, 0], wt[1, 0, 0], wt[2, 0, 0]
     bias = p_conv["bias"].astype(jnp.float32).reshape(1, c)
     xr = x.reshape(b, t, hw, c)
+    # (B, C) vectors ride as (B, 1, C) so the block's last-two dims (1, C)
+    # equal the array dims (Mosaic constraint: mult-of-8/128 or exact).
+    scale = scale.reshape(b, 1, c)
+    shift = shift.reshape(b, 1, c)
     const = pl.BlockSpec(memory_space=pltpu.VMEM)
-    vec = pl.BlockSpec((1, c), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+    vec = pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
     blk = pl.BlockSpec((1, t, hwc, c), lambda i, j: (i, 0, j, 0),
                        memory_space=pltpu.VMEM)
     if variant == "3dot":

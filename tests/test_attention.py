@@ -71,6 +71,36 @@ def test_flash_grads_match_dense():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+def test_flash_grads_under_dots_attn_remat():
+    """remat='dots_attn' saves the flash kernel's tagged (o, lse); the
+    backward replay substitutes them (forward kernel DCE'd) and the FA-2
+    bwd kernels must still produce dense-parity gradients."""
+    rng = jax.random.PRNGKey(7)
+    ks = jax.random.split(rng, 3)
+    B, L, H, D = 1, 128, 2, 64
+    q = jax.random.normal(ks[0], (B, L, H, D), jnp.float32)
+    k = jax.random.normal(ks[1], (B, L, H, D), jnp.float32)
+    v = jax.random.normal(ks[2], (B, L, H, D), jnp.float32)
+    from mudg_tpu.kernels.flash_attention import flash_attention
+
+    policy = jax.checkpoint_policies.save_only_these_names(
+        "attn_o", "attn_lse")
+
+    blk = jax.checkpoint(
+        lambda q, k, v: jnp.sin(flash_attention(q, k, v)), policy=policy)
+
+    def loss(q, k, v):
+        return jnp.sum(blk(q, k, v))
+
+    def loss_dense(q, k, v):
+        return jnp.sum(jnp.sin(_dense_ref(q, k, v)))
+
+    gf = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
 def test_cross_attention_image_branch():
     rng = jax.random.PRNGKey(4)
     heads, dim_head, dim, ctx_dim = 2, 16, 32, 24

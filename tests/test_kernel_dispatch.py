@@ -73,3 +73,45 @@ def test_ff_block_matches_module_estimator():
     ref = A.feed_forward(pf, F.layer_norm({"weight": lnw, "bias": lnb}, x)) + x
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-2 * float(jnp.abs(ref).max()))
+
+
+def test_tconv_fused_parity_interpret():
+    """Fused GN+SiLU+tconv stage (kernels/tconv.py) vs the XLA composition,
+    f32 math in interpret mode on a tiny video block."""
+    import jax
+
+    from mudg_tpu.kernels import tconv as TC
+    from mudg_tpu.nn import functional as F
+
+    rng = jax.random.PRNGKey(0)
+    ks = jax.random.split(rng, 4)
+    b, t, h, w, c = 1, 4, 8, 16, 64
+    x = jax.random.normal(ks[0], (b, t, h, w, c), jnp.float32).astype(jnp.bfloat16)
+    p_gn = {"weight": jax.random.normal(ks[1], (c,), jnp.float32) * 0.1 + 1.0,
+            "bias": jax.random.normal(ks[2], (c,), jnp.float32) * 0.1}
+    p_conv = {"weight": jax.random.normal(ks[3], (3, 1, 1, c, c), jnp.float32) * 0.05,
+              "bias": jnp.zeros((c,), jnp.float32)}
+    got = TC.fused_gn_silu_tconv(x, p_gn, p_conv)
+    want = F.conv3d(p_conv, F.silu(F.group_norm(p_gn, x)))
+    gf = np.asarray(got, np.float32)
+    wf = np.asarray(want, np.float32)
+    scale = np.abs(wf).max()
+    assert np.abs(gf - wf).max() <= 0.05 * scale + 1e-3
+
+
+def test_tconv_eligibility():
+    from mudg_tpu.kernels import tconv as TC
+
+    x = jnp.zeros((1, 16, 40, 64, 320), jnp.bfloat16)
+    ok_conv = {"weight": jnp.zeros((3, 1, 1, 320, 320), jnp.bfloat16)}
+    # backend-gated: on CPU never eligible; shape rules still enforced
+    import jax
+
+    expected = jax.default_backend() == "tpu"
+    assert TC.eligible(x, ok_conv) == expected
+    # C=640 measured slower than XLA -> never eligible
+    x640 = jnp.zeros((1, 16, 36, 64, 640), jnp.bfloat16)
+    c640 = {"weight": jnp.zeros((3, 1, 1, 640, 640), jnp.bfloat16)}
+    assert not TC.eligible(x640, c640)
+    # int8-quantized convs (no 'weight') keep the quant path
+    assert not TC.eligible(x, {"weight_i8": jnp.zeros((3, 1, 1, 320, 320), jnp.int8)})
