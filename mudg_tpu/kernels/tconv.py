@@ -48,20 +48,23 @@ def _interpret() -> bool:
 
 def gn_fold(p, x, num_groups: int = 32, eps: float = 1e-5):
     """Fold GroupNorm stats + gamma/beta into per-(B, C) f32 scale/shift so
-    y = x * scale + shift. Identical statistics to functional.group_norm
-    (channel sums combined into group stats; fp32 island)."""
+    y = x * scale + shift. TWO-PASS (centered) variance exactly like
+    functional.group_norm — the one-pass E[x^2]-E[x]^2 form goes NEGATIVE
+    under f32 cancellation at large activation means (observed as NaNs in
+    the MDM1024 smoke with constant weights) and is not parity-identical."""
     b, t, h, w, c = x.shape
     xf = x.astype(jnp.float32)
-    s = jnp.sum(xf, axis=(1, 2, 3))        # (B, C)
-    s2 = jnp.sum(jnp.square(xf), axis=(1, 2, 3))
-    cnt = t * h * w * (c // num_groups)
-    gs = s.reshape(b, num_groups, -1).sum(-1, keepdims=True)
-    gs2 = s2.reshape(b, num_groups, -1).sum(-1, keepdims=True)
-    mean = gs / cnt
-    var = gs2 / cnt - mean**2
+    g = num_groups
+    cnt = t * h * w * (c // g)
+
+    def group_mean(per_channel):  # (B, C) -> (B, C) broadcast group means
+        gsum = per_channel.reshape(b, g, c // g).sum(axis=-1, keepdims=True)
+        return jnp.broadcast_to(gsum / cnt, (b, g, c // g)).reshape(b, c)
+
+    mean = group_mean(jnp.sum(xf, axis=(1, 2, 3)))
+    centered = xf - mean[:, None, None, None, :]
+    var = group_mean(jnp.sum(centered * centered, axis=(1, 2, 3)))
     rstd = jax.lax.rsqrt(var + eps)
-    mean = jnp.broadcast_to(mean, (b, num_groups, c // num_groups)).reshape(b, c)
-    rstd = jnp.broadcast_to(rstd, (b, num_groups, c // num_groups)).reshape(b, c)
     scale = rstd * p["weight"].astype(jnp.float32)
     shift = p["bias"].astype(jnp.float32) - mean * scale
     return scale, shift

@@ -20,10 +20,12 @@ C=320, 1.97 -> 1.11 ms at C=640 (scripts/tattn2.py). The softmax runs in
 base 2 with scale*log2(e) folded into Wq on host (same trick as
 flash_attention.py; probabilities are mathematically unchanged).
 
-Backward: `jax.custom_vjp` whose bwd re-runs the reference XLA
-implementation under `jax.vjp` — gradients are exactly those of the
-unfused path (training keeps its current numerics/cost; inference gets the
-fused forward).
+Backward: "attach-grad" structure (see flash_attention.py) — the raw
+forward also emits the stage-1 intermediate h1 (tagged "attn_h1"); an
+identity custom_vjp with inputs-only residuals runs the TRUE per-stage
+backward kernels on the saved h1 when they fit VMEM (bwd_eligible,
+C<=512), else replays the XLA math. Under remat="dots_attn" the forward
+kernels drop out of the backward replay entirely.
 
 Used by `nn.attention.temporal_transformer` when: TPU backend, self-only
 attention, no rel-pos/causal, T divides 128, rows % 128 == 0, and the
@@ -37,6 +39,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -95,13 +98,18 @@ def _attn_stage(x, lnw, lnb, wq, wk, wv, wo, bo, mask, heads, group):
 def _kernel(x_ref,
             ln1w, ln1b, wq1, wk1, wv1, wo1, bo1,
             ln2w, ln2b, wq2, wk2, wv2, wo2, bo2,
-            o_ref, *, t, heads, group):
+            o_ref, h1_ref, *, t, heads, group):
     x = x_ref[...]
     r = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0) // t
     c = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1) // t
     mask = r == c
     h1 = _attn_stage(x, ln1w[...], ln1b[...], wq1[...], wk1[...], wv1[...],
                      wo1[...], bo1[...], mask, heads, group)
+    # stage-1 output also goes to HBM: the true backward consumes it
+    # directly (saves re-running a stage forward), and under the
+    # remat="dots_attn" policy it is checkpoint-saved so the whole fused
+    # forward drops out of the backward replay.
+    h1_ref[...] = h1.astype(h1_ref.dtype)
     h2 = _attn_stage(h1.astype(x.dtype), ln2w[...], ln2b[...], wq2[...],
                      wk2[...], wv2[...], wo2[...], bo2[...], mask, heads, group)
     o_ref[...] = h2.astype(o_ref.dtype)
@@ -180,7 +188,7 @@ def _ln_args(p, c):
 
 
 def _fused_impl(tokens, p1, p2, *, t, heads):
-    """tokens: (N, T, C) -> (N, T, C); p1/p2 are attn param dicts."""
+    """tokens: (N, T, C) -> (y (N, T, C), h1 (N, T, C) stage-1 output)."""
     n, tt, c = tokens.shape
     rows = n * tt
     x2 = tokens.reshape(rows, c)
@@ -192,26 +200,28 @@ def _fused_impl(tokens, p1, p2, *, t, heads):
         # both attentions' weights fit alongside a group=8 slab (C<=320)
         group = 8
         blk = 128 * group
-        out = pl.pallas_call(
+        spec = pl.BlockSpec((blk, c), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+        out, h1 = pl.pallas_call(
             functools.partial(_kernel, t=t, heads=heads, group=group),
             grid=(rows // blk,),
-            in_specs=[pl.BlockSpec((blk, c), lambda i: (i, 0),
-                                   memory_space=pltpu.VMEM)]
-            + [const] * 14,
-            out_specs=pl.BlockSpec((blk, c), lambda i: (i, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((rows, c), tokens.dtype),
+            in_specs=[spec] + [const] * 14,
+            out_specs=(spec, spec),
+            out_shape=(jax.ShapeDtypeStruct((rows, c), tokens.dtype),
+                       jax.ShapeDtypeStruct((rows, c), tokens.dtype)),
             interpret=_interpret(),
         )(x2, *_ln_args(p1, c), *w1[:4], w1[4],
           *_ln_args(p2, c), *w2[:4], w2[4])
-        return out.reshape(n, tt, c)
+        return out.reshape(n, tt, c), h1.reshape(n, tt, c)
 
     # wider channels (C=640): one attention per pallas_call so only one
     # stage's weights are resident — the intermediate makes one cheap HBM
     # round trip and the slab can stay at group=4 (the double kernel at
-    # C=640 needs 2x weights resident and overflows VMEM at any group)
+    # C=640 needs 2x weights resident and overflows VMEM at any group).
+    # The stage-1 intermediate doubles as the h1 return (no extra traffic).
     group = _pick_group(rows, c, 1)
     blk = 128 * group
+    outs = []
     for w, p in ((w1, p1), (w2, p2)):
         x2 = pl.pallas_call(
             functools.partial(_kernel1, t=t, heads=heads, group=group),
@@ -224,23 +234,26 @@ def _fused_impl(tokens, p1, p2, *, t, heads):
             out_shape=jax.ShapeDtypeStruct((rows, c), tokens.dtype),
             interpret=_interpret(),
         )(x2, *_ln_args(p, c), *w[:4], w[4])
-    return x2.reshape(n, tt, c)
+        outs.append(x2)
+    return outs[1].reshape(n, tt, c), outs[0].reshape(n, tt, c)
+
+
+def _xla_one_stage(tokens, p, *, t, heads):
+    """One LN -> self-attn -> +res stage in plain XLA (parity reference for
+    the kernel's stage-1 intermediate)."""
+    from ..nn import attention as A
+    from ..nn import functional as F
+
+    return A.cross_attention(
+        {k: v for k, v in p.items() if k != "norm"},
+        F.layer_norm(p["norm"], tokens), None, heads=heads) + tokens
 
 
 def _xla_impl(tokens, p1, p2, *, t, heads):
     """Reference implementation (same math, plain XLA) — used for the custom
     VJP backward and for parity tests."""
-    from ..nn import attention as A
-    from ..nn import functional as F
-
-    x = tokens
-    x = A.cross_attention(
-        {k: v for k, v in p1.items() if k != "norm"},
-        F.layer_norm(p1["norm"], x), None, heads=heads) + x
-    x = A.cross_attention(
-        {k: v for k, v in p2.items() if k != "norm"},
-        F.layer_norm(p2["norm"], x), None, heads=heads) + x
-    return x
+    x = _xla_one_stage(tokens, p1, t=t, heads=heads)
+    return _xla_one_stage(x, p2, t=t, heads=heads)
 
 
 # ---------------------------------------------------------------------------
@@ -379,26 +392,6 @@ def bwd_eligible(rows, c) -> bool:
     return _pick_group_bwd(rows, c) > 0
 
 
-def _fwd_one_stage(x2, p, c, heads, t):
-    """One LN->attn->+res stage via the single-stage forward kernel (used by
-    the backward to recompute stage 1's output)."""
-    rows = x2.shape[0]
-    group = _pick_group(rows, c, 1)
-    w = _prep(p, c, heads, fold_scale=True)
-    const = pl.BlockSpec(memory_space=pltpu.VMEM)
-    blk = 128 * group
-    return pl.pallas_call(
-        functools.partial(_kernel1, t=t, heads=heads, group=group),
-        grid=(rows // blk,),
-        in_specs=[pl.BlockSpec((blk, c), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM)] + [const] * 7,
-        out_specs=pl.BlockSpec((blk, c), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((rows, c), x2.dtype),
-        interpret=_interpret(),
-    )(x2, *_ln_args(p, c), *w[:4], w[4])
-
-
 def _bwd_one_stage(x2, dy2, p, c, heads, t):
     """Gradients of one stage: returns (dx (rows,c), grads pytree for p)."""
     rows = x2.shape[0]
@@ -446,33 +439,52 @@ def _bwd_one_stage(x2, dy2, p, c, heads, t):
     return dx, grads
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+# Public op, "attach-grad" structure (same pattern as flash_attention.py):
+# the raw forward kernels run on stop_gradient'ed operands OUTSIDE the
+# custom_vjp; both outputs (y and the stage-1 intermediate h1) are
+# checkpoint_name-tagged. `_attach_grad` is an identity custom_vjp whose
+# residuals are inputs only, consuming the saved h1 instead of re-running a
+# stage forward. Under remat policies saving "attn_o"/"attn_h1"
+# (remat="dots_attn") the backward replay substitutes both and the forward
+# kernels are DCE'd from the replay entirely.
+
+
 def fused_double_self_attn(tokens, p1, p2, t, heads):
     """LN->self-attn->+res twice, fused. p1/p2: dicts with 'norm' (LayerNorm
     params) plus CrossAttention to_q/to_k/to_v/to_out."""
-    return _fused_impl(tokens, p1, p2, t=t, heads=heads)
+    sg = jax.lax.stop_gradient
+    y, h1 = _fused_impl(sg(tokens), jax.tree.map(sg, p1),
+                        jax.tree.map(sg, p2), t=t, heads=heads)
+    y = checkpoint_name(y, "attn_o")
+    h1 = checkpoint_name(h1, "attn_h1")
+    return _attach_grad(tokens, p1, p2, y, h1, t, heads)
 
 
-def _vjp_fwd(tokens, p1, p2, t, heads):
-    return _fused_impl(tokens, p1, p2, t=t, heads=heads), (tokens, p1, p2)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _attach_grad(tokens, p1, p2, y, h1, t, heads):
+    return y
 
 
-def _vjp_bwd(t, heads, res, g):
-    tokens, p1, p2 = res
+def _ag_fwd(tokens, p1, p2, y, h1, t, heads):
+    return y, (tokens, p1, p2, h1)
+
+
+def _ag_bwd(t, heads, res, g):
+    tokens, p1, p2, h1 = res
     n, tt, c = tokens.shape
     rows = n * tt
     if bwd_eligible(rows, c):
-        # true backward kernels, stage by stage: recompute h1 with the
-        # forward kernel, then backprop stage 2 and stage 1
+        # true backward kernels, stage by stage, consuming the saved h1
         x2 = tokens.reshape(rows, c)
         g2 = g.reshape(rows, c)
-        h1 = _fwd_one_stage(x2, p1, c, heads, t)
-        dh1, dp2 = _bwd_one_stage(h1, g2, p2, c, heads, t)
+        dh1, dp2 = _bwd_one_stage(h1.reshape(rows, c), g2, p2, c, heads, t)
         dx, dp1 = _bwd_one_stage(x2, dh1, p1, c, heads, t)
-        return dx.reshape(tokens.shape), dp1, dp2
+        return (dx.reshape(tokens.shape), dp1, dp2,
+                jnp.zeros_like(g), jnp.zeros_like(h1))
     _, vjp = jax.vjp(lambda x, a, b: _xla_impl(x, a, b, t=t, heads=heads),
                      tokens, p1, p2)
-    return vjp(g)
+    dx, dp1, dp2 = vjp(g)
+    return dx, dp1, dp2, jnp.zeros_like(g), jnp.zeros_like(h1)
 
 
-fused_double_self_attn.defvjp(_vjp_fwd, _vjp_bwd)
+_attach_grad.defvjp(_ag_fwd, _ag_bwd)

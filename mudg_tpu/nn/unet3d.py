@@ -371,7 +371,7 @@ def unet_apply(
                 # per site instead of two. ~27 MB per ds1 site at bs=1.
                 policy = jax.checkpoint_policies.save_only_these_names(
                     "mm_out", "conv_out", "tconv_out", "gn_out", "ln_out",
-                    "attn_o", "attn_lse",
+                    "attn_o", "attn_lse", "attn_h1",
                     "blk_attn1", "blk_attn2", "blk_ff")
             elif remat == "except_ff":
                 # save EVERY intermediate except the tagged GEGLU 8C inners

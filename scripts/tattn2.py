@@ -194,7 +194,7 @@ def main():
             jax.jit(lambda x: TA._xla_impl(x, p1, p2, t=t, heads=heads))(x),
             np.float32)
         cur = np.asarray(
-            jax.jit(lambda x: TA._fused_impl(x, p1, p2, t=t, heads=heads))(x),
+            jax.jit(lambda x: TA._fused_impl(x, p1, p2, t=t, heads=heads)[0])(x),
             np.float32)
         scale = np.abs(ref).max()
 
@@ -219,7 +219,7 @@ def main():
                     print(f"C={c} g={g} {name}: FAIL {type(e).__name__} {msg}",
                           flush=True)
 
-        sec_cur = timed(lambda x: TA._fused_impl(x, p1, p2, t=t, heads=heads), x)
+        sec_cur = timed(lambda x: TA._fused_impl(x, p1, p2, t=t, heads=heads)[0], x)
         sec_xla = timed(lambda x: TA._xla_impl(x, p1, p2, t=t, heads=heads), x)
         err_cur = np.abs(cur - ref).max() / scale
         print(f"C={c} current fused: {sec_cur*1e3:7.3f} ms rel_err={err_cur:.4f}; "

@@ -220,8 +220,14 @@ def test_fused_temporal_double_attn_parity(heads, c, n):
     p2 = {"norm": pb["norm2"], **pb["attn2"]}
 
     ref = TA._xla_impl(tokens, p1, p2, t=t, heads=heads)
-    out = TA._fused_impl(tokens, p1, p2, t=t, heads=heads)
+    out, h1 = TA._fused_impl(tokens, p1, p2, t=t, heads=heads)
     assert out.shape == ref.shape
+    # the stage-1 intermediate must equal one XLA stage (it feeds the true
+    # backward and the dots_attn replay-skip)
+    ref_h1 = TA._xla_one_stage(tokens, p1, t=t, heads=heads)
+    np.testing.assert_allclose(
+        np.asarray(h1), np.asarray(ref_h1),
+        atol=3e-2 * float(jnp.abs(ref_h1).max()))
     scale = float(jnp.abs(ref).max())
     # kernel runs qkv/S/PV in bf16 like the XLA path but folds scale into Wq
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
