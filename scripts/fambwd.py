@@ -25,6 +25,12 @@ from mudg_tpu.nn import functional as F
 from mudg_tpu.nn import unet3d as U
 from mudg_tpu.train import step as TS
 
+REMAT = True  # --remat=dots_attn etc. to ablate at the training default
+for _a in sys.argv:
+    if _a.startswith("--remat="):
+        _v = _a.split("=", 1)[1]
+        REMAT = True if _v == "True" else _v
+
 
 def build():
     cfg = M.MDMConfig()
@@ -56,7 +62,7 @@ def timed(cfg, trainable, frozen, batch, sched_arrays, null_tokens):
         p = TS.merge_params(tr, fz)
         loss, _ = M.training_loss(
             p, cfg, sched_arrays, batch, key,
-            null_emb=null_emb, impl="train", remat=True)
+            null_emb=null_emb, impl="train", remat=REMAT)
         return loss
 
     @jax.jit
@@ -114,6 +120,12 @@ def main():
         # (cross-attn has Lk != Lq and image-KV a different head split)
         "attend": lambda: stub(
             A, "attend", lambda q, k, v, **kw: q + 0.0 * jnp.mean(v)),
+        # the frozen 3-way stacked VAE encode (no grads flow; pure fwd cost)
+        "encode": lambda: stub(
+            M.V, "encode_video",
+            lambda p, c, x, rng=None, chunk=1: jnp.zeros(
+                (x.shape[0], x.shape[1], x.shape[2] // 8, x.shape[3] // 8, 4),
+                jnp.bfloat16) + 0.0 * jnp.mean(x).astype(jnp.bfloat16)),
     }
     for name, do in variants.items():
         if want and name not in want:
