@@ -192,3 +192,175 @@ def _vjp_bwd(heads, res, g):
 
 
 fused_self_attention.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Streaming variant: x/out chunks ride manual double-buffered DMAs and the
+# projection weights are DMA'd once into scratch, so only k/v (+ one f32
+# score block) must fit VMEM. This admits the MDM1024 ds2 shape
+# (L=2304, C=640), where the whole-block kernel's double-buffered x/out
+# blocks alone (12*L*C bytes = 17.7 MB) blow the 14.5 MB scoped budget.
+# ---------------------------------------------------------------------------
+
+def _stream_kernel(x_hbm, lnw, lnb, w_hbm, bo, o_hbm,
+                   ws, kb, vb, xbuf, obuf, wsem, xsem, osem,
+                   *, heads, bq, seq):
+    c = kb.shape[-1]
+    d = c // heads
+    bi = pl.program_id(0)
+    nch = seq // bq
+
+    @pl.when(bi == 0)
+    def _load_w():
+        dma = pltpu.make_async_copy(w_hbm, ws, wsem)
+        dma.start()
+        dma.wait()
+
+    def x_dma(slot, i):
+        return pltpu.make_async_copy(
+            x_hbm.at[bi, pl.ds(i * bq, bq), :], xbuf.at[slot], xsem.at[slot])
+
+    def o_dma(slot):
+        # one descriptor shape per slot; the destination offset varies, but
+        # wait() only needs the matching transfer size
+        def at(i):
+            return pltpu.make_async_copy(
+                obuf.at[slot], o_hbm.at[bi, pl.ds(i * bq, bq), :],
+                osem.at[slot])
+        return at
+
+    # ---- phase 1: k/v projections into scratch ----
+    x_dma(0, 0).start()
+
+    def kv_body(i, carry):
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < nch)
+        def _prefetch():
+            x_dma(jax.lax.rem(i + 1, 2), i + 1).start()
+
+        x_dma(slot, i).wait()
+        xn = _ln(xbuf[slot], lnw[...], lnb[...])
+        kb[pl.ds(i * bq, bq), :] = jax.lax.dot(
+            xn, ws[1], preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+        vb[pl.ds(i * bq, bq), :] = jax.lax.dot(
+            xn, ws[2], preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+        return carry
+
+    jax.lax.fori_loop(0, nch, kv_body, 0)
+
+    # ---- phase 2: q chunks against the full k/v ----
+    x_dma(0, 0).start()
+
+    def q_body(i, carry):
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < nch)
+        def _prefetch():
+            x_dma(jax.lax.rem(i + 1, 2), i + 1).start()
+
+        x_dma(slot, i).wait()
+        xc = xbuf[slot]
+        q = jax.lax.dot(_ln(xc, lnw[...], lnb[...]), ws[0],
+                        preferred_element_type=jnp.float32
+                        ).astype(jnp.bfloat16)  # scale*log2e folded into wq
+        outs = []
+        for h in range(heads):
+            s = jax.lax.dot_general(
+                q[:, h * d:(h + 1) * d], kb[:, h * d:(h + 1) * d],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp2(s - m)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            o = jax.lax.dot(p.astype(jnp.bfloat16), vb[:, h * d:(h + 1) * d],
+                            preferred_element_type=jnp.float32)
+            outs.append((o / l).astype(jnp.bfloat16))
+        o_all = jnp.concatenate(outs, axis=1)
+        out = (jax.lax.dot(o_all, ws[3], preferred_element_type=jnp.float32)
+               + bo[...] + xc.astype(jnp.float32))
+
+        # the slot's previous out DMA (chunk i-2) must land before overwrite
+        @pl.when(i >= 2)
+        def _drain_prev():
+            o_dma(slot)(i - 2).wait()
+
+        obuf[slot] = out.astype(obuf.dtype)
+        o_dma(slot)(i).start()
+        return carry
+
+    jax.lax.fori_loop(0, nch, q_body, 0)
+
+    # drain the last two out DMAs (eligibility guarantees nch >= 2)
+    o_dma((nch - 2) % 2)(nch - 2).wait()
+    o_dma((nch - 1) % 2)(nch - 1).wait()
+
+
+_STREAM_BQ = 128
+
+
+def _stream_vmem_est(l, c, bq=_STREAM_BQ):
+    # k/v scratch + weight scratch + x/out double buffers + per-head f32
+    # score pair (s and exp2(s-m) live together) + q/o_all/out transients.
+    return (2 * l * c * 2          # k/v scratch
+            + 4 * c * c * 2        # weight scratch (single-buffered)
+            + 4 * bq * c * 2       # x/out double buffers
+            + 2 * bq * l * 4       # score block + exp2 copy
+            + 4 * bq * c * 4)      # LN/q/o_all/out f32 transients
+
+
+def stream_eligible(x, c, heads) -> bool:
+    """Streaming fused block: same math as `eligible`, but only k/v +
+    one score block must fit VMEM. bf16 only."""
+    l = x.shape[1]
+    return (
+        jax.default_backend() == "tpu"
+        and x.dtype == jnp.bfloat16
+        and c % heads == 0
+        and (c // heads) % 64 == 0
+        and l % _STREAM_BQ == 0
+        and l // _STREAM_BQ >= 2
+        and _stream_vmem_est(l, c) < int(14.5 * 2**20)
+    )
+
+
+def _stream_impl(x, p_norm, p_attn, *, heads, bq=_STREAM_BQ):
+    b, l, c = x.shape
+    wq, wk, wv, wo, bo = _prep(p_attn, c, heads)
+    w_all = jnp.stack([wq, wk, wv, wo])
+    lnw = p_norm["weight"].astype(jnp.float32).reshape(1, c)
+    lnb = p_norm["bias"].astype(jnp.float32).reshape(1, c)
+    const = pl.BlockSpec(memory_space=pltpu.VMEM)
+    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    return pl.pallas_call(
+        functools.partial(_stream_kernel, heads=heads, bq=bq, seq=l),
+        grid=(b,),
+        in_specs=[hbm, const, const, hbm, const],
+        out_specs=hbm,
+        out_shape=jax.ShapeDtypeStruct((b, l, c), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((4, c, c), jnp.bfloat16),   # ws
+            pltpu.VMEM((l, c), jnp.bfloat16),      # kb
+            pltpu.VMEM((l, c), jnp.bfloat16),      # vb
+            pltpu.VMEM((2, bq, c), x.dtype),       # xbuf (bf16 in production;
+                                                   # DMA dtype must match x)
+            pltpu.VMEM((2, bq, c), x.dtype),       # obuf
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=_interpret(),
+    )(x, lnw, lnb, w_all, bo)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def stream_self_attention(x, p_norm, p_attn, heads):
+    """Streaming LN -> spatial self-attention -> +residual. x: (B, L, C)."""
+    return _stream_impl(x, p_norm, p_attn, heads=heads)
+
+
+def _svjp_fwd(x, p_norm, p_attn, heads):
+    return _stream_impl(x, p_norm, p_attn, heads=heads), (x, p_norm, p_attn)
+
+
+stream_self_attention.defvjp(_svjp_fwd, _vjp_bwd)

@@ -381,12 +381,22 @@ def basic_transformer_block(
         and p["attn1"]["to_out"]["0"]["weight"].shape == (c, c)
         and os.environ.get("MUDG_FUSED_SPATIAL", "1") == "1"
     )
+    use_stream = False
     if use_sfused:
         from ..kernels import spatial_attn as SP
 
-        use_sfused = SP.eligible(x, c, heads)
+        use_stream = not SP.eligible(x, c, heads)
+        if use_stream:
+            # streaming variant: x/out chunks ride manual DMAs, only k/v +
+            # one score block live in VMEM — admits MDM1024's ds2 shape
+            # (L=2304, C=640) where the whole-block kernel is VMEM-ineligible
+            use_sfused = SP.stream_eligible(x, c, heads)
+        else:
+            use_sfused = True
     if use_sfused:
-        x = SP.fused_self_attention(x, p["norm1"], p["attn1"], heads)
+        x = (SP.stream_self_attention(x, p["norm1"], p["attn1"], heads)
+             if use_stream
+             else SP.fused_self_attention(x, p["norm1"], p["attn1"], heads))
     else:
         x = cross_attention(
             p["attn1"], F.layer_norm(p["norm1"], x), None,

@@ -22,10 +22,16 @@ from mudg_tpu.nn import unet3d as U
 BWD = "--bwd" in sys.argv
 PRESET = "mdm1024" if "--preset=mdm1024" in sys.argv else "mdm512"
 REMAT = True  # training-config replay policy for --bwd (see train/step.py)
+CHAIN = None  # (n_long, n_short) override: at MDM1024 the default 24-chain
+# is a monster executable the remote compile service chews on for >50 min;
+# --chain=6,2 keeps per-variant compiles tractable (4-step delta ~= 4.9 s of
+# signal vs ~2 ms run-to-run noise).
 for _a in sys.argv:
     if _a.startswith("--remat="):
         _v = _a.split("=", 1)[1]
         REMAT = True if _v == "True" else _v
+    if _a.startswith("--chain="):
+        CHAIN = tuple(int(v) for v in _a.split("=", 1)[1].split(","))
 
 
 def build():
@@ -86,9 +92,19 @@ def timed(fn, params, args, n_long=24, n_short=4):
     ch = chain_bwd if BWD else chain
     if BWD:
         n_long, n_short = 8, 2
+    if CHAIN:
+        if len(CHAIN) == 1:
+            # single-length mode: one compile per variant; dispatch overhead
+            # was measured ~0 in this environment (docs/STATE.md), so
+            # best(fl)/n is directly comparable across variants.
+            n_long, n_short = CHAIN[0], 0
+        else:
+            n_long, n_short = CHAIN
     fl = jax.jit(functools.partial(ch, n=n_long))
-    fs_ = jax.jit(functools.partial(ch, n=n_short))
-    float(fl(params, *args)); float(fs_(params, *args))
+    fs_ = None if n_short == 0 else jax.jit(functools.partial(ch, n=n_short))
+    float(fl(params, *args))
+    if fs_ is not None:
+        float(fs_(params, *args))
 
     def best(f):
         out = []
@@ -98,6 +114,8 @@ def timed(fn, params, args, n_long=24, n_short=4):
             out.append(time.perf_counter() - t0)
         return min(out)
 
+    if fs_ is None:
+        return best(fl) / n_long
     return (best(fl) - best(fs_)) / (n_long - n_short)
 
 

@@ -293,6 +293,44 @@ def test_fused_spatial_self_attn_parity(heads, c, l, bq):
         gf, gx)
 
 
+def test_stream_spatial_self_attn_parity():
+    """kernels/spatial_attn.stream_self_attention (manual-DMA streaming
+    variant for shapes whose x/out blocks don't fit VMEM, e.g. MDM1024 ds2)
+    matches the XLA reference in interpret mode, including the double-buffer
+    prefetch and out-DMA drain paths (nch=4 chunks), and its custom-vjp
+    gradients are the XLA path's."""
+    from mudg_tpu.kernels import spatial_attn as SP
+
+    heads, c, l = 2, 128, 4 * SP._STREAM_BQ
+    rng = jax.random.PRNGKey(0)
+    p_attn = A.init_cross_attention(rng, c, heads=heads, dim_head=c // heads)
+    p_attn = jax.tree.map(lambda a: a.astype(jnp.float32), p_attn)
+    p_norm = {"weight": jnp.ones((c,), jnp.float32) * 1.1,
+              "bias": jnp.full((c,), 0.05, jnp.float32)}
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, l, c), jnp.float32)
+
+    ref = SP._xla_impl(x, p_norm, p_attn, heads=heads)
+    out = SP._stream_impl(x, p_norm, p_attn, heads=heads)
+    assert out.shape == ref.shape
+    scale = float(jnp.abs(ref).max())
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-2 * scale)
+
+    def loss_stream(x, n_, a_):
+        return jnp.sum(SP.stream_self_attention(x, n_, a_, heads) ** 2)
+
+    def loss_xla(x, n_, a_):
+        return jnp.sum(SP._xla_impl(x, n_, a_, heads=heads) ** 2)
+
+    gf = jax.grad(loss_stream, argnums=(0, 1, 2))(x, p_norm, p_attn)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(x, p_norm, p_attn)
+    jax.tree.map(
+        lambda a_, b_: np.testing.assert_allclose(
+            np.asarray(a_), np.asarray(b_),
+            rtol=0.1, atol=5e-2 * max(float(np.abs(np.asarray(b_)).max()), 1e-6)),
+        gf, gx)
+
+
 def test_fused_geglu_ff_block_parity():
     """kernels/mlp.fused_geglu_ff_block (LN -> GEGLU FF -> +res in one
     kernel, interpret mode) matches the unfused composition, gradients via

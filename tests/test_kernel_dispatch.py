@@ -26,6 +26,15 @@ def test_spatial_attn_bq_choices():
     assert SP._vmem_est(640, 640, 320) >= int(14.5 * 2**20)
 
 
+def test_spatial_attn_stream_envelope():
+    # The streaming variant exists exactly for MDM1024 ds2 (L=2304, C=640):
+    # whole-block ineligible (above), streaming fits (k/v 5.9M + weights
+    # 3.3M + score pair 2.4M ~= 12M).
+    assert SP._stream_vmem_est(2304, 640) < int(14.5 * 2**20)
+    # MDM1024 ds1 (L=9216, C=320): k/v alone 11.8M + score pair 9.4M -> out.
+    assert SP._stream_vmem_est(9216, 320) >= int(14.5 * 2**20)
+
+
 def test_temporal_attn_group_choices():
     # C=320 double kernel at group=8 (measured 1.74 ms); C=640 only the
     # single-stage kernel fits, at group=4 (double crashed at any group).
