@@ -5,7 +5,9 @@ the `render_infer` output layout ({task}_re_{i}.png vs {task}_gt_{i}.png) or
 any two directories of matching PNG frames. Prints one JSON summary and
 writes per-frame metrics.
 
-  --task color (default)  PSNR + SSIM on the RGB frames
+  --task color (default)  PSNR + SSIM (+ LPIPS when --lpips/MUDG_LPIPS_PATH
+                          provides AlexNet-LPIPS weights, utils/lpips.py)
+                          on the RGB frames
   --task semantic         pixel accuracy + mIoU on palette-decoded class ids
   --task depth            abs_rel / rmse / delta1 on the metric-depth .npy
                           outputs vs --gt_depth/{frame:08d}.npy (the scene's
@@ -58,6 +60,9 @@ def main(argv=None):
     p.add_argument("--pred", default=None)
     p.add_argument("--gt", default=None)
     p.add_argument("--out", default=None, help="write per-frame JSONL here")
+    p.add_argument("--lpips", default=None,
+                   help="AlexNet-LPIPS torch state dict (or set "
+                        "MUDG_LPIPS_PATH); omitted/absent -> no lpips key")
     args = p.parse_args(argv)
     assert args.dir or (args.pred and args.gt)
     if args.prefix is None:
@@ -106,15 +111,33 @@ def main(argv=None):
     else:
         pairs = collect_pairs(args)
         assert pairs, "no frame pairs found"
+        # LPIPS (paper metric) is weights-gated: --lpips/MUDG_LPIPS_PATH must
+        # point at an AlexNet-LPIPS torch state dict (utils/lpips.py). With
+        # no weights in this zero-egress image the metric reports null
+        # rather than an uncalibrated number.
+        from ..utils import lpips as LP
+
+        lp_params = LP.load_lpips(args.lpips)
+        lp_fn = None
+        if lp_params is not None:
+            import jax
+
+            lp_fn = jax.jit(lambda a, b: LP.lpips(lp_params, a, b))
         for pred_path, gt_path in pairs:
             a = cv2.imread(pred_path).astype(np.float32) / 255.0
             b = cv2.imread(gt_path).astype(np.float32) / 255.0
-            rows.append({
+            row = {
                 "frame": os.path.basename(pred_path),
                 "psnr": round(metrics.psnr(a, b, data_range=1.0), 4),
                 "ssim": round(metrics.ssim(a[:, :, ::-1], b[:, :, ::-1]), 4),
-            })
-        keys = ("psnr", "ssim")
+            }
+            if lp_fn is not None:
+                # cv2 reads BGR; LPIPS nets are RGB-calibrated, range [-1,1]
+                row["lpips"] = round(float(lp_fn(
+                    (a[None, :, :, ::-1] * 2 - 1).copy(),
+                    (b[None, :, :, ::-1] * 2 - 1).copy())[0]), 4)
+            rows.append(row)
+        keys = ("psnr", "ssim") + (("lpips",) if lp_fn is not None else ())
     summary = {"task": args.task, "n_frames": len(rows)}
     for k in keys:
         vals = [r[k] for r in rows if r.get(k) is not None]

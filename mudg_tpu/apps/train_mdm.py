@@ -104,6 +104,16 @@ def main(argv=None):
                         "weights over 'model' (parallel/tp.py; composes "
                         "with --fsdp). Forces the pure-XLA step (Pallas "
                         "kernels cannot be partitioned)")
+    p.add_argument("--sp", type=int, default=1,
+                   help="sequence-parallel degree: builds a 2D ('data', "
+                        "'seq') mesh and shards the UNet ACTIVATIONS "
+                        "(frames for spatial layers, W for temporal layers, "
+                        "parallel/sp.py shard_map all-to-alls at the "
+                        "transitions) — the per-clip HBM lever when bs=1 "
+                        "activations don't fit one chip (MDM1024). With "
+                        "--fsdp and no data axis left, params shard over "
+                        "'seq'. Forces the pure-XLA step. Mutually "
+                        "exclusive with --tp")
     args = p.parse_args(argv)
 
     import jax
@@ -158,22 +168,41 @@ def main(argv=None):
 
     import math
 
-    assert jax.device_count() % args.tp == 0, \
-        f"--tp {args.tp} must divide the {jax.device_count()} devices"
-    n_data = math.gcd(args.batch_size, jax.device_count() // args.tp)
+    assert args.tp == 1 or args.sp == 1, "--tp and --sp are mutually exclusive"
+    model_par = max(args.tp, args.sp)
+    assert jax.device_count() % model_par == 0, \
+        f"--tp/--sp {model_par} must divide the {jax.device_count()} devices"
+    n_data = math.gcd(args.batch_size, jax.device_count() // model_par)
     tp_axis = "model" if args.tp > 1 else None
-    mesh = PM.make_mesh([n_data, args.tp], ("data", "model"),
-                        devices=jax.devices()[:n_data * args.tp]) \
-        if args.tp > 1 else PM.make_mesh([n_data], devices=jax.devices()[:n_data])
-    print(f"mesh: {n_data} devices on 'data' x {args.tp} on 'model' "
-          f"(batch {args.batch_size})")
+    sp_shard = None
+    if args.tp > 1:
+        mesh = PM.make_mesh([n_data, args.tp], ("data", "model"),
+                            devices=jax.devices()[:n_data * args.tp])
+        print(f"mesh: {n_data} devices on 'data' x {args.tp} on 'model' "
+              f"(batch {args.batch_size})")
+    elif args.sp > 1:
+        from ..parallel import sp as SP
+
+        mesh = PM.make_mesh([n_data, args.sp], ("data", "seq"),
+                            devices=jax.devices()[:n_data * args.sp])
+        sp_shard = SP.make_seq_sharding(
+            mesh, data_axis="data" if n_data > 1 else None)
+        print(f"mesh: {n_data} devices on 'data' x {args.sp} on 'seq' "
+              f"(batch {args.batch_size}, sequence-parallel activations)")
+    else:
+        mesh = PM.make_mesh([n_data], devices=jax.devices()[:n_data])
+        print(f"mesh: {n_data} devices on 'data' (batch {args.batch_size})")
+    # with one clip per step there is no data axis to FSDP over — shard the
+    # params over the seq group instead (FSDP+SP, the bs=1 HBM-wall layout)
+    fsdp_axis = "seq" if (args.fsdp and args.sp > 1 and n_data == 1) else "data"
 
     trainable, frozen = TS.split_params(params)
     state = TS.init_train_state(params, tc)
     state, frozen = TS.place_train_state(state, frozen, mesh, fsdp=args.fsdp,
-                                         tp_axis=tp_axis)
+                                         tp_axis=tp_axis, axis=fsdp_axis)
     if args.fsdp:
-        print("fsdp: params/moments/EMA/frozen towers sharded over 'data'")
+        print(f"fsdp: params/moments/EMA/frozen towers sharded over "
+              f"'{fsdp_axis}'")
 
     grad_mask = None
     if temporal_frozen:
@@ -188,8 +217,9 @@ def main(argv=None):
     sched_arrays = M.schedule_arrays(cfg.schedule())
     train_step = TS.make_train_step(
         cfg, tc, frozen, sched_arrays, null_tokens, grad_mask=grad_mask,
-        impl="xla" if args.tp > 1 else "train",
+        impl="xla" if (args.tp > 1 or args.sp > 1) else "train",
         remat=True if args.remat == "full" else args.remat,
+        sp=sp_shard,
     )
 
     ds = WaymoDataset(args.items, video_length=args.video_length,
@@ -269,7 +299,7 @@ def main(argv=None):
             )
         if w_step is not None or f_step is not None:
             state, _ = TS.place_train_state(state, {}, mesh, fsdp=args.fsdp,
-                                            tp_axis=tp_axis)
+                                            tp_axis=tp_axis, axis=fsdp_axis)
             print(f"auto-resume: restored {latest} at step {step_i}")
 
     t0 = time.time()

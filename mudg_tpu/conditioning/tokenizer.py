@@ -68,7 +68,14 @@ def _fix_mojibake(text: str) -> str:
     """Minimal ftfy.fix_text stand-in: iteratively undo UTF-8 bytes that were
     mis-decoded as cp1252/latin-1 ('Ã©' -> 'é', 'â€™' -> '’'). Correctly
     encoded text round-trips to invalid UTF-8 and is returned unchanged;
-    pure-ASCII input short-circuits."""
+    pure-ASCII input short-circuits.
+
+    Known divergence from ftfy: there is no plausibility ("badness")
+    heuristic, so a rare caption that GENUINELY contains sequences like
+    'Ã©' (which also happen to re-encode to valid UTF-8) is rewritten where
+    ftfy would leave it alone. Harmless for the ASCII Waymo captions this
+    pipeline feeds; callers with adversarial non-ASCII text should pre-clean
+    with real ftfy."""
     for _ in range(3):  # ftfy also bounds repeated-mojibake unwinding
         if text.isascii():
             return text

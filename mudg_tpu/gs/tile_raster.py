@@ -21,8 +21,13 @@ Orientation inside the kernel: gaussians on sublanes (chunk of 128), pixels
 on lanes (16x16 tile = 256). The backward kernel recomputes the forward in
 two sweeps (total + prefix), avoiding reverse-order transmittance division.
 
-Exact-parity semantics with gs/rasterize.py: 0.999 alpha clamp, 1/255 alpha
-cutoff, T<=1e-4 saturation masking, front-to-back (tile, depth) ordering.
+Parity semantics with gs/rasterize.py: 0.999 alpha clamp, 1/255 alpha
+cutoff, T<=1e-4 saturation masking, front-to-back (tile, depth) ordering —
+exact up to the fused sort key's db-bit depth quantization (db>=14, see
+build_pairs): splats whose camera depths differ by less than range/2^db can
+composite in either order, a divergence class the XLA path (full f32 depth
+key) and the reference CUDA rasterizer (u64 key, all 32 float bits) do not
+have.
 """
 from __future__ import annotations
 

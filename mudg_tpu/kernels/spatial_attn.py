@@ -326,6 +326,12 @@ def stream_eligible(x, c, heads) -> bool:
 
 def _stream_impl(x, p_norm, p_attn, *, heads, bq=_STREAM_BQ):
     b, l, c = x.shape
+    # the kernel's final drain waits on the DMAs for chunks nch-2 and nch-1
+    # unconditionally; with a single chunk that semaphore never fires (hang)
+    if l // bq < 2:
+        raise ValueError(
+            f"stream_self_attention needs >=2 q-chunks (L={l}, bq={bq}); "
+            "use fused_self_attention/flash for short sequences")
     wq, wk, wv, wo, bo = _prep(p_attn, c, heads)
     w_all = jnp.stack([wq, wk, wv, wo])
     lnw = p_norm["weight"].astype(jnp.float32).reshape(1, c)

@@ -389,8 +389,11 @@ def basic_transformer_block(
         if use_stream:
             # streaming variant: x/out chunks ride manual DMAs, only k/v +
             # one score block live in VMEM — admits MDM1024's ds2 shape
-            # (L=2304, C=640) where the whole-block kernel is VMEM-ineligible
-            use_sfused = SP.stream_eligible(x, c, heads)
+            # (L=2304, C=640) where the whole-block kernel is VMEM-ineligible.
+            # MUDG_STREAM_SPATIAL=0 keeps the flash path (A/B + safety valve).
+            use_sfused = (
+                SP.stream_eligible(x, c, heads)
+                and os.environ.get("MUDG_STREAM_SPATIAL", "1") == "1")
         else:
             use_sfused = True
     if use_sfused:

@@ -56,7 +56,8 @@ def linear(p, x, tag: str | None = "mm_out"):
     with huge outputs (the GEGLU 8C inner) pass a non-default tag so the
     policy can exclude them."""
     if "weight_i8" in p:
-        return _quant().linear_i8(p, x)
+        y = _quant().linear_i8(p, x)
+        return checkpoint_name(y, tag) if tag else y
     w = _weight(p, x.dtype)
     y = x @ w
     if "bias" in p and p["bias"] is not None:

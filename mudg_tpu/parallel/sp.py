@@ -57,11 +57,18 @@ class SeqSharding:
             shard_map all-to-alls instead of annotation (see module doc);
             used whenever (B*T) % n == 0 and W % n == 0 at a boundary,
             falling back to annotation otherwise.
+    data_axis: optional name of a batch-parallel mesh axis (DP x SP
+            training): the batch dim B rides `data_axis` while frames/W
+            ride `axis` within each data group. rows then shard dim 0 over
+            (data_axis, axis) — B*T is B-major so the data split lands on
+            whole clips — and the explicit all-to-alls stay purely within
+            the seq groups.
     """
     rows: NamedSharding
     video: NamedSharding
     frames: NamedSharding
     explicit: bool = True
+    data_axis: str | None = None
 
     @property
     def mesh(self) -> Mesh:
@@ -69,20 +76,28 @@ class SeqSharding:
 
     @property
     def axis(self) -> str:
-        return self.rows.spec[0]
+        spec0 = self.rows.spec[0]
+        return spec0[-1] if isinstance(spec0, tuple) else spec0
 
     @property
     def n(self) -> int:
         return self.mesh.shape[self.axis]
 
+    @property
+    def n_data(self) -> int:
+        return 1 if self.data_axis is None else self.mesh.shape[self.data_axis]
+
 
 def make_seq_sharding(mesh: Mesh, axis: str = "seq", *,
-                      explicit: bool = True) -> SeqSharding:
+                      explicit: bool = True,
+                      data_axis: str | None = None) -> SeqSharding:
+    da = data_axis
     return SeqSharding(
-        rows=NamedSharding(mesh, P(axis)),
-        video=NamedSharding(mesh, P(None, None, None, axis)),
-        frames=NamedSharding(mesh, P(None, axis)),
+        rows=NamedSharding(mesh, P((da, axis) if da else axis)),
+        video=NamedSharding(mesh, P(da, None, None, axis)),
+        frames=NamedSharding(mesh, P(da, axis)),
         explicit=explicit,
+        data_axis=da,
     )
 
 
@@ -105,8 +120,9 @@ def frames(x, sp: SeqSharding | None):
     return x if sp is None else constrain(x, sp.frames)
 
 
-def _explicit_ok(sp, bt: int, ww: int) -> bool:
-    return sp.explicit and bt % sp.n == 0 and ww % sp.n == 0
+def _explicit_ok(sp, bt: int, b: int, ww: int) -> bool:
+    return (sp.explicit and ww % sp.n == 0
+            and b % sp.n_data == 0 and (bt // sp.n_data) % sp.n == 0)
 
 
 def to_video(h, batch_size: int, sp: SeqSharding | None):
@@ -116,21 +132,24 @@ def to_video(h, batch_size: int, sp: SeqSharding | None):
     frame block along W and concatenates the frame blocks it receives, i.e.
     exactly the resharding the temporal layer needs, with activation/n bytes
     exchanged per chip. Annotation mode: reshape + with_sharding_constraint
-    (GSPMD replicates when B > 1, see module doc)."""
+    (GSPMD replicates when B > 1, see module doc). With a data_axis, the
+    all-to-all runs inside each seq group; the clip's B block stays put on
+    its data shard (shard_map sees the per-(data, seq)-shard local block)."""
     bt, hh, ww, c = h.shape
     t = bt // batch_size
     if sp is None:
         return h.reshape(batch_size, t, hh, ww, c)
-    if _explicit_ok(sp, bt, ww):
-        n, ax = sp.n, sp.axis
+    if _explicit_ok(sp, bt, batch_size, ww):
+        n, ax, bl = sp.n, sp.axis, batch_size // sp.n_data
 
-        def f(xl):  # xl: (bt/n, H, W, C) local
+        def f(xl):  # xl: (bt/(nd*n), H, W, C) local
             y = jax.lax.all_to_all(xl, ax, split_axis=2, concat_axis=0,
-                                   tiled=True)  # (bt, H, W/n, C)
-            return y.reshape(batch_size, t, hh, ww // n, c)
+                                   tiled=True)  # (bt/nd, H, W/n, C)
+            return y.reshape(bl, t, hh, ww // n, c)
 
         return jax.shard_map(
-            f, mesh=sp.mesh, in_specs=P(ax), out_specs=sp.video.spec)(h)
+            f, mesh=sp.mesh, in_specs=sp.rows.spec,
+            out_specs=sp.video.spec)(h)
     return constrain(h.reshape(batch_size, t, hh, ww, c), sp.video)
 
 
@@ -141,14 +160,15 @@ def to_rows(hv, sp: SeqSharding | None):
     bt = b * t
     if sp is None:
         return hv.reshape(bt, hh, ww, c)
-    if _explicit_ok(sp, bt, ww):
+    if _explicit_ok(sp, bt, b, ww):
         n, ax = sp.n, sp.axis
 
-        def f(xl):  # xl: (B, T, H, W/n, C) local
-            y = xl.reshape(bt, hh, ww // n, c)
+        def f(xl):  # xl: (B/nd, T, H, W/n, C) local
+            y = xl.reshape(-1, hh, ww // n, c)  # (bt/nd, H, W/n, C)
             return jax.lax.all_to_all(y, ax, split_axis=0, concat_axis=2,
-                                      tiled=True)  # (bt/n, H, W, C)
+                                      tiled=True)  # (bt/(nd*n), H, W, C)
 
         return jax.shard_map(
-            f, mesh=sp.mesh, in_specs=sp.video.spec, out_specs=P(ax))(hv)
+            f, mesh=sp.mesh, in_specs=sp.video.spec,
+            out_specs=sp.rows.spec)(hv)
     return constrain(hv.reshape(bt, hh, ww, c), sp.rows)

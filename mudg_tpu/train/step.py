@@ -319,4 +319,8 @@ def make_train_step(
     def run(state, batch, rng):
         return jitted(frozen_params, state, batch, rng)
 
+    # expose the underlying jit for AOT inspection (dryrun_multichip greps
+    # the lowered module for the sequence-parallel all-to-alls)
+    run.jitted = jitted
+    run.frozen_params = frozen_params
     return run

@@ -336,6 +336,41 @@ def test_train_mdm_tp_fsdp(scene, tmp_path):
     assert os.path.isdir(os.path.join(out_dir, "step_2"))
 
 
+def test_train_mdm_sp_fsdp(scene, tmp_path):
+    """--sp 2 --fsdp: the train app runs on a 2D (2, 2) ('data', 'seq') mesh
+    with sequence-parallel UNet activations (parallel/sp.py explicit
+    all-to-alls; DP x SP) composed with ZeRO-3 params over 'data'."""
+    import json
+    from mudg_tpu.apps.make_conditions import render_scene_conditions
+    from mudg_tpu.data.waymo import write_items
+    from mudg_tpu.apps import train_mdm
+
+    render_scene_conditions(scene, ("camera_FRONT",))
+    cam = "camera_FRONT"
+    item = {
+        "frames": [f"{i:08d}.jpg" for i in range(4)],
+        "dense_color_base": os.path.join(scene, "images", cam),
+        "sparse_color_base": os.path.join(scene, "sparse", cam),
+        "dense_semantic_base": os.path.join(scene, "semantic_dense", cam),
+        "dense_depth_base": os.path.join(scene, "six_frames_depth", cam),
+        "sparse_depth_base": os.path.join(scene, "depth", cam),
+    }
+    items_path = str(tmp_path / "items.txt")
+    write_items(items_path, [item] * 8)
+    out_dir = str(tmp_path / "run_sp")
+
+    train_mdm.main([
+        "--items", items_path, "--out", out_dir, "--preset", "tiny",
+        "--height", "32", "--width", "64", "--video_length", "4",
+        "--batch_size", "2", "--accum", "1", "--max_steps", "1",
+        "--ckpt_every", "1", "--log_every", "1", "--full_ckpt_every", "0",
+        "--sp", "2", "--fsdp",
+    ])
+    lines = [json.loads(l) for l in open(os.path.join(out_dir, "metrics.jsonl"))]
+    assert all(np.isfinite(l["loss"]) for l in lines if "loss" in l)
+    assert os.path.isdir(os.path.join(out_dir, "step_1"))
+
+
 def test_render_infer_task_serial_matches_batched(scene, tmp_path):
     """--task_serial (single-chip memory mode) produces the same outputs as
     the default 3-task batch: same RNG key drives both, so the sampled

@@ -194,3 +194,132 @@ def test_eval_nvs_depth_and_semantic(tmp_path):
     assert s2["n_frames"] == 1
     np.testing.assert_allclose(s2["pixel_acc_mean"], 0.75, atol=0.01)
     assert 0 < s2["miou_mean"] < 1
+
+
+# ---------------------------------------------------------------------------
+# LPIPS (utils/lpips.py)
+# ---------------------------------------------------------------------------
+
+def _lpips_torch_sd(rng):
+    """Random-valued torch state dict in the lpips-pip key layout
+    (net.sliceK.N.* + linK.model.1.weight)."""
+    import torch
+
+    convs = [(3, 64, 11), (64, 192, 5), (192, 384, 3), (384, 256, 3),
+             (256, 256, 3)]
+    idx = [0, 3, 6, 8, 10]
+    sd = {}
+    for i, ((ci, co, k), ix) in enumerate(zip(convs, idx)):
+        sd[f"net.slice{i + 1}.{ix}.weight"] = torch.tensor(
+            rng.normal(size=(co, ci, k, k)).astype(np.float32) * 0.05)
+        sd[f"net.slice{i + 1}.{ix}.bias"] = torch.tensor(
+            rng.normal(size=(co,)).astype(np.float32) * 0.01)
+        sd[f"lin{i}.model.1.weight"] = torch.tensor(
+            np.abs(rng.normal(size=(1, co, 1, 1))).astype(np.float32))
+    return sd
+
+
+def test_lpips_basic_properties():
+    import jax
+    import jax.numpy as jnp
+
+    from mudg_tpu.utils import lpips as LP
+
+    params = LP.init_lpips(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32))
+    b = jnp.asarray(rng.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32))
+    d_aa = np.asarray(jax.jit(LP.lpips)(params, a, a))
+    d_ab = np.asarray(jax.jit(LP.lpips)(params, a, b))
+    d_ba = np.asarray(jax.jit(LP.lpips)(params, b, a))
+    assert d_aa.shape == (2,)
+    np.testing.assert_allclose(d_aa, 0.0, atol=1e-6)
+    assert np.all(d_ab > 1e-4)
+    np.testing.assert_allclose(d_ab, d_ba, rtol=1e-5)
+
+
+def test_lpips_load_and_torch_oracle(tmp_path):
+    """load_lpips parses the lpips-pip key layout and the JAX forward matches
+    a from-scratch torch implementation of the published LPIPS recipe."""
+    import torch
+    import torch.nn.functional as TF
+    import jax
+
+    from mudg_tpu.utils import lpips as LP
+
+    rng = np.random.default_rng(3)
+    sd = _lpips_torch_sd(rng)
+    path = str(tmp_path / "lpips_alex.pth")
+    torch.save(sd, path)
+    params = LP.load_lpips(path)
+    assert params is not None
+
+    a = rng.uniform(-1, 1, (1, 48, 64, 3)).astype(np.float32)
+    b = rng.uniform(-1, 1, (1, 48, 64, 3)).astype(np.float32)
+    d_jax = np.asarray(jax.jit(LP.lpips)(params, a, b))
+
+    def feats_torch(x):
+        h = torch.tensor(x.transpose(0, 3, 1, 2))  # NCHW
+        shift = torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1)
+        scale = torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1)
+        h = (h - shift) / scale
+        taps = []
+        specs = [(1, 0, 4, 2), (2, 3, 1, 2), (3, 6, 1, 1), (4, 8, 1, 1),
+                 (5, 10, 1, 1)]
+        for i, (sl, ix, s, p) in enumerate(specs):
+            w = sd[f"net.slice{sl}.{ix}.weight"]
+            bb = sd[f"net.slice{sl}.{ix}.bias"]
+            h = TF.relu(TF.conv2d(h, w, bb, stride=s, padding=p))
+            taps.append(h)
+            if i < 2:
+                h = TF.max_pool2d(h, 3, 2)
+        return taps
+
+    fa, fb = feats_torch(a), feats_torch(b)
+    d_ref = 0.0
+    for i, (xa, xb) in enumerate(zip(fa, fb)):
+        na = xa / torch.sqrt((xa * xa).sum(1, keepdim=True) + 1e-10)
+        nb = xb / torch.sqrt((xb * xb).sum(1, keepdim=True) + 1e-10)
+        w = sd[f"lin{i}.model.1.weight"]
+        d_ref = d_ref + TF.conv2d((na - nb) ** 2, w).mean(dim=(1, 2, 3))
+    d_ref = d_ref.numpy()
+    np.testing.assert_allclose(d_jax, d_ref, rtol=2e-4, atol=1e-6)
+
+    # torchvision-style dict (features.N.*, no lin heads) degrades to
+    # uniform heads rather than failing
+    sd2 = {k.replace(f"net.slice{sl}.", "features."): v
+           for k, v in sd.items() if k.startswith("net.")
+           for sl in [int(k.split(".")[1][5:])] }
+    path2 = str(tmp_path / "alexnet.pth")
+    torch.save(sd2, path2)
+    p2 = LP.load_lpips(path2)
+    assert p2 is not None
+    d2 = np.asarray(LP.lpips(p2, a, a))
+    np.testing.assert_allclose(d2, 0.0, atol=1e-6)
+
+    # absent path -> None (eval reports lpips: null)
+    assert LP.load_lpips(str(tmp_path / "missing.pth")) is None
+
+
+def test_eval_nvs_lpips_key(tmp_path):
+    """eval_nvs --lpips emits the lpips metric; without weights it doesn't."""
+    import cv2
+    import torch
+
+    from mudg_tpu.apps import eval_nvs
+
+    d = tmp_path / "virtual_color"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        gt = (rng.random((32, 32, 3)) * 255).astype(np.uint8)
+        noisy = np.clip(gt.astype(int) + rng.integers(-30, 30, gt.shape),
+                        0, 255).astype(np.uint8)
+        cv2.imwrite(str(d / f"color_gt_{i}.png"), gt)
+        cv2.imwrite(str(d / f"color_re_{i}.png"), noisy)
+    path = str(tmp_path / "lpips.pth")
+    torch.save(_lpips_torch_sd(rng), path)
+    s = eval_nvs.main(["--dir", str(d), "--lpips", path])
+    assert s["lpips_mean"] is not None and s["lpips_mean"] > 0
+    s0 = eval_nvs.main(["--dir", str(d)])
+    assert "lpips_mean" not in s0

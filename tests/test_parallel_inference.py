@@ -284,6 +284,53 @@ def test_sequence_parallel_training_step_matches():
         np.testing.assert_allclose(np.asarray(b_), np.asarray(a), atol=1e-5)
 
 
+def test_dp_sp_fsdp_training_step_matches():
+    """DP x SP x FSDP training: batch over 'data' x UNet activations
+    sequence-parallel over 'seq' (sp.SeqSharding(data_axis='data') — the
+    all-to-alls run within each seq group) x params/moments/frozen towers
+    ZeRO-3-sharded over 'data'. One step must give the same loss and updated
+    params as the plain unsharded step. The lowered module must carry the
+    shard_map all-to-alls (bt/nd=4 and W=8,4 all divide the 4-wide seq
+    group, so every boundary takes the explicit path)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mudg_tpu.parallel import sp as SP
+    from mudg_tpu.train import step as TS
+    from test_train_step import _batch
+
+    cfg = tiny_mdm_cfg()
+    params = M.init_mdm(jax.random.PRNGKey(0), cfg)
+    arrays = M.schedule_arrays(cfg.schedule())
+    null = jnp.zeros((77,), jnp.int32)
+    tc = TS.TrainConfig(accum_steps=1, learning_rate=1e-3)
+    _, frozen = TS.split_params(params)
+    batch, key = _batch(1, b=2), jax.random.PRNGKey(2)
+
+    state = TS.init_train_state(params, tc)
+    step = TS.make_train_step(cfg, tc, frozen, arrays, null, impl="xla",
+                              remat=False, donate=False)
+    ref_state, ref_metrics = step(state, batch, key)
+
+    mesh = PM.make_mesh([2, 4], ("data", "seq"))
+    seq = SP.make_seq_sharding(mesh, data_axis="data")
+    sstate, sfrozen = TS.place_train_state(
+        TS.init_train_state(params, tc), frozen, mesh, fsdp=True,
+        axis="data", min_size=256)
+    step_sp = TS.make_train_step(cfg, tc, sfrozen, arrays, null,
+                                 impl="xla", remat=False, donate=False,
+                                 sp=seq)
+    sbatch = PM.shard_batch(batch, mesh)
+    low = step_sp.jitted.lower(sfrozen, sstate, sbatch, key).as_text()
+    assert ("all_to_all" in low) or ("all-to-all" in low)
+    sp_state, sp_metrics = step_sp(sstate, sbatch, key)
+
+    np.testing.assert_allclose(float(sp_metrics["loss"]),
+                               float(ref_metrics["loss"]), atol=1e-5)
+    for a, b_ in zip(jax.tree.leaves(ref_state.params),
+                     jax.tree.leaves(sp_state.params)):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a), atol=1e-5)
+
+
 def test_tensor_parallel_sampling_matches_replicated():
     """Tensor-parallel INFERENCE: UNet weights column/row-sharded over a
     ('model',) mesh via parallel/tp.py annotations; the SPMD partitioner
