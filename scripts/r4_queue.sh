@@ -35,4 +35,11 @@ run 8 3600 python scripts/int8_quality.py --outliers
 run 9 1800 python scripts/convbwd.py
 # 10. fambwd spatial stub retry (alone, fresh process)
 run 10 3600 python scripts/fambwd.py spatial
+# 11. fresh bwd family map at the CURRENT training default (the round-3 map
+#     was measured under full remat; dots_attn replays far less)
+run 11 7200 python scripts/fambwd.py --remat=dots_attn
+# 12. inference per-family map at the current kernels (MFU accounting table)
+run 12 7200 python scripts/fambench.py
+# 13. tconv stage bwd decomposition (is a fused bwd kernel worth writing?)
+run 13 2400 python scripts/tconvbwd.py
 echo "QUEUE DONE $(date -u)" >> $LOG
