@@ -40,18 +40,32 @@ import jax.numpy as jnp
 MIN_QUANT_SIZE = 65536
 
 
-def quantize_weight(w, axis=-1):
+def quantize_weight(w, axis=-1, clip_pct: float | None = None):
     """Symmetric per-output-channel int8 quantization of a weight array.
 
     `axis` is the output-channel axis (kept per-channel; all other axes share
     a scale). Returns (w_i8, scale) with w ~= w_i8 * scale (broadcast on
-    `axis`)."""
+    `axis`).
+
+    clip_pct (e.g. 99.9): scale from the clip_pct-th percentile of |w| within
+    each channel instead of the absmax; weights beyond it SATURATE at +-127.
+    Real checkpoints carry sparse within-channel outliers that inflate an
+    absmax scale and cost every other weight mantissa bits — clipping trades
+    a large error on ~1/1000 outliers for finer resolution on the rest
+    (standard percentile-calibration practice). None = exact absmax."""
     wf = jnp.asarray(w, jnp.float32)
-    reduce_axes = tuple(i for i in range(wf.ndim) if i != axis % wf.ndim)
-    amax = jnp.max(jnp.abs(wf), axis=reduce_axes, keepdims=True)
+    ax = axis % wf.ndim
+    if clip_pct is None:
+        reduce_axes = tuple(i for i in range(wf.ndim) if i != ax)
+        amax = jnp.max(jnp.abs(wf), axis=reduce_axes, keepdims=True)
+    else:
+        flat = jnp.moveaxis(jnp.abs(wf), ax, 0).reshape(wf.shape[ax], -1)
+        shape = [1] * wf.ndim
+        shape[ax] = wf.shape[ax]
+        amax = jnp.percentile(flat, clip_pct, axis=1).reshape(shape)
     scale = jnp.maximum(amax, 1e-12) / 127.0
     w_i8 = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
-    return w_i8, scale.reshape((wf.shape[axis % wf.ndim],))
+    return w_i8, scale.reshape((wf.shape[ax],))
 
 
 def _is_quantizable_leaf_dict(p) -> bool:
@@ -66,7 +80,7 @@ def _is_quantizable_leaf_dict(p) -> bool:
 
 def quantize_pytree(params, *, min_size: int | None = None, mode: str = "w8a8",
                     conv_mode: str | None = None, which: str = "all",
-                    jit: bool = True):
+                    clip_pct: float | None = None, jit: bool = True):
     """Walk a torch-layout parameter pytree and quantize every conv/linear
     'weight' leaf (ndim >= 2, size >= min_size) to int8 + per-out-channel
     scale. Returns a new pytree; unquantized leaves are shared, not copied.
@@ -99,6 +113,9 @@ def quantize_pytree(params, *, min_size: int | None = None, mode: str = "w8a8",
 
     Output-channel axis is -1 for every layout in this codebase
     (Linear (in, out), ConvNd (*k, in, out) — nn/functional.py:7-12).
+
+    clip_pct is forwarded to quantize_weight (percentile-clipped per-channel
+    scales for outlier-heavy checkpoints; None = exact absmax).
 
     jit=True (default) runs the conversion as ONE compiled executable over
     ONLY the selected weight leaves: eagerly it is ~6 ops x O(100s) of
@@ -140,13 +157,16 @@ def quantize_pytree(params, *, min_size: int | None = None, mode: str = "w8a8",
             return {k: walk(v, quantize) for k, v in p.items()}
         return p
 
+    def qw(w):
+        return quantize_weight(w, clip_pct=clip_pct)
+
     if jit:
         weights = []
         walk(params, lambda w: (weights.append(w), (w, w))[1])
         if weights and all(isinstance(w, jax.Array) for w in weights):
-            qs = iter(jax.jit(lambda ws: [quantize_weight(w) for w in ws])(weights))
+            qs = iter(jax.jit(lambda ws: [qw(w) for w in ws])(weights))
             return walk(params, lambda w: next(qs))
-    return walk(params, quantize_weight)
+    return walk(params, qw)
 
 
 def conv_w8a8_to_w8(params):

@@ -318,3 +318,33 @@ def test_quantized_tree_is_jit_argument_friendly():
 
     y = f(q, x)
     assert y.shape == (8, 32)
+
+
+def test_quantize_weight_clip_pct_beats_absmax_on_outliers():
+    """Sparse within-channel outliers inflate an absmax scale; percentile
+    clipping (clip_pct) must recover resolution on the non-outlier mass
+    while the outliers saturate at +-127 (quant.quantize_weight docstring)."""
+    rng = np.random.default_rng(5)
+    w = rng.normal(0, 0.05, (4096, 8)).astype(np.float32)
+    spikes = rng.random((4096, 8)) < 1e-3
+    w = np.where(spikes, w * 30.0, w)
+    wj = jnp.asarray(w)
+
+    def body_snr(clip_pct):
+        w_i8, scale = quant.quantize_weight(wj, clip_pct=clip_pct)
+        wd = np.asarray(w_i8, np.float32) * np.asarray(scale)
+        mask = ~spikes  # quality on the 99.9% non-outlier mass
+        return snr_db(w[mask], wd[mask])
+
+    snr_abs, snr_clip = body_snr(None), body_snr(99.9)
+    assert snr_clip > snr_abs + 6  # >= 1 extra bit of resolution
+
+    # clipped values saturate, never wrap
+    w_i8, scale = quant.quantize_weight(wj, clip_pct=99.9)
+    assert int(jnp.max(jnp.abs(w_i8))) == 127
+
+    # pytree plumbing: clip_pct reaches the leaves through the jitted walk
+    p = {"weight": wj, "bias": jnp.zeros((8,))}
+    q = quant.quantize_pytree(p, min_size=0, clip_pct=99.9)
+    q_ref, _ = quant.quantize_weight(wj, clip_pct=99.9)
+    np.testing.assert_array_equal(np.asarray(q["weight_i8"]), np.asarray(q_ref))
