@@ -32,6 +32,7 @@ have.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -215,7 +216,10 @@ def build_pairs(proj, colors, *, width: int, height: int, max_pairs: int,
     # ever leaves fewer than 14 depth bits.
     depth = proj.depths[gi]
     db = 31 - int(n_tiles + 1).bit_length()
-    if db >= 14:
+    # MUDG_GS_SORT=lex keeps the exact lexicographic (tile, f32 depth) sort —
+    # the A/B lever for the packed-key variant (and the lossless option if a
+    # scene ever exposes db-bit depth-quantization ordering artifacts)
+    if db >= 14 and os.environ.get("MUDG_GS_SORT", "packed") != "lex":
         dmin = jnp.min(jnp.where(proj.visible, proj.depths, jnp.inf))
         dmax = jnp.max(jnp.where(proj.visible, proj.depths, -jnp.inf))
         qscale = ((1 << db) - 1) / jnp.maximum(dmax - dmin, 1e-12)
@@ -230,7 +234,7 @@ def build_pairs(proj, colors, *, width: int, height: int, max_pairs: int,
         bounds = jnp.searchsorted(
             key_s, jnp.arange(n_tiles + 1, dtype=jnp.int32) << db
         ).astype(jnp.int32)
-    else:  # pragma: no cover - >131k tiles
+    else:  # lex fallback (>131k tiles, or MUDG_GS_SORT=lex)
         tile_s, _, gi_s = jax.lax.sort((tile_id, depth, gi), num_keys=2)
         bounds = jnp.searchsorted(
             tile_s, jnp.arange(n_tiles + 1, dtype=jnp.int32)

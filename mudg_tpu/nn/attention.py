@@ -465,14 +465,20 @@ def spatial_transformer(
 
 
 def temporal_transformer(
-    p, x, *, heads, depth=1, causal=False, temporal_length=None, impl="auto",
-    remat=False,
+    p, x, context=None, *, heads, depth=1, causal=False, temporal_length=None,
+    impl="auto", remat=False,
 ):
-    """TemporalTransformer, self-attention-only path (attention.py:529-576).
+    """TemporalTransformer (attention.py:529-576). x: (B, T, H, W, C);
+    attention runs over T on (B*H*W, T, C) tokens.
 
-    x: (B, T, H, W, C); attention runs over T on (B*H*W, T, C) tokens.
-    The reference's only_self_att=False cross path is unused by every MuDG
-    config (temporal_selfatt_only: true) and is not implemented.
+    context=None is the only_self_att=True path every MuDG config uses
+    (temporal_selfatt_only: true). With context (B*T, L, D) — the reference's
+    only_self_att=False mode (attention.py:556-566) — each block's attn2
+    cross-attends per-frame context: the reference repeats frame j's context
+    rows (h*w)//t times so the spatial token row i of each batch attends to
+    frame i // ((h*w)//t), loops batches serially (a torch 65535-batch
+    workaround), and skips the causal mask; here it is one batched call with
+    the identical row->frame mapping.
     """
     b, t, h, w, c = x.shape
     x_in = x
@@ -480,6 +486,25 @@ def temporal_transformer(
     # (B, T, H, W, C) -> (B*H*W, T, C)
     x = x.transpose(0, 2, 3, 1, 4).reshape(b * h * w, t, c)
     x = _proj(p["proj_in"], x)
+    if context is not None:
+        hw = h * w
+        if hw % t:
+            raise ValueError(
+                f"cross temporal transformer requires (h*w) % t == 0 "
+                f"(reference repeat semantics), got {hw} % {t}")
+        l, dc = context.shape[-2:]
+        # (B*T, L, D) -> (B, T, L, D) -> repeat each frame hw//t times
+        # (t-major, so row i maps to frame i // (hw//t)) -> (B*HW, L, D)
+        ctx = jnp.repeat(context.reshape(b, t, l, dc), hw // t, axis=1)
+        ctx = ctx.reshape(b * hw, l, dc)
+        xblock = partial(basic_transformer_block, heads=heads, impl=impl)
+        if remat:
+            xblock = jax.checkpoint(xblock)
+        for d in range(depth):
+            x = xblock(p["transformer_blocks"][str(d)], x, ctx)
+        x = _proj(p["proj_out"], x)
+        x = x.reshape(b, h, w, t, c).transpose(0, 3, 1, 2, 4)
+        return x + x_in
     block = partial(
         basic_transformer_block, heads=heads, causal=causal,
         temporal_length=temporal_length, impl=impl,
@@ -653,8 +678,11 @@ def init_spatial_transformer(
 
 def init_temporal_transformer(
     rng, in_channels, *, heads, dim_head, depth=1, use_linear=True,
-    relative_position=False, temporal_length=None,
+    relative_position=False, temporal_length=None, context_dim=None,
 ):
+    """context_dim sizes the blocks' attn2 k/v projections for the
+    only_self_att=False cross path (attention.py:505-506: context_dim is
+    forced to None when only_self_att); None = self-attention blocks."""
     inner = heads * dim_head
     ks = jax.random.split(rng, depth + 2)
     return {
@@ -663,6 +691,7 @@ def init_temporal_transformer(
         "transformer_blocks": {
             str(d): init_transformer_block(
                 ks[2 + d], inner, heads=heads, dim_head=dim_head,
+                context_dim=context_dim,
                 relative_position=relative_position, temporal_length=temporal_length,
             )
             for d in range(depth)

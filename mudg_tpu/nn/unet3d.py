@@ -47,6 +47,10 @@ class UNetConfig:
     use_linear: bool = True
     temporal_conv: bool = True
     temporal_attention: bool = True
+    # only_self_att on the reference's TemporalTransformer (attention.py:505):
+    # every MuDG config sets temporal_selfatt_only: true; False routes the
+    # text/image context into the temporal blocks' attn2 (cross path)
+    temporal_selfatt_only: bool = True
     use_relative_position: bool = False
     use_causal_attention: bool = False
     temporal_length: int = 16
@@ -241,8 +245,12 @@ def _apply_block(
             )
         elif ltype == "temporal":
             hv = SP.to_video(h, batch_size, sp)
+            # context is already per-frame rows (B*T, L, D) — the reference
+            # layout its only_self_att=False branch consumes (unet_apply
+            # preamble, openaimodel3d.py:581-588)
             hv = A.temporal_transformer(
-                p, hv, heads=args["heads"], depth=cfg.transformer_depth,
+                p, hv, None if cfg.temporal_selfatt_only else context,
+                heads=args["heads"], depth=cfg.transformer_depth,
                 causal=cfg.use_causal_attention,
                 temporal_length=cfg.temporal_length, impl=impl,
             )
@@ -404,7 +412,8 @@ def unet_apply(
         if i == 0 and cfg.addition_attention:
             hv = SP.to_video(h, b, sp)
             hv = A.temporal_transformer(
-                params["init_attn"]["0"], hv, heads=8,
+                params["init_attn"]["0"], hv,
+                None if cfg.temporal_selfatt_only else context, heads=8,
                 depth=cfg.transformer_depth, causal=False,
                 temporal_length=cfg.temporal_length, impl=impl,
             )
@@ -466,6 +475,8 @@ def _init_layer(rng, ltype, args, cfg: UNetConfig):
             depth=cfg.transformer_depth, use_linear=cfg.use_linear,
             relative_position=cfg.use_relative_position,
             temporal_length=cfg.temporal_length,
+            context_dim=(None if cfg.temporal_selfatt_only
+                         else cfg.context_dim),
         )
     if ltype == "down":
         return {"op": F.init_conv(rng, (3, 3), args["ch"], args["ch"])}
@@ -510,6 +521,8 @@ def init_unet(rng, cfg: UNetConfig):
                 depth=cfg.transformer_depth, use_linear=False,
                 relative_position=cfg.use_relative_position,
                 temporal_length=cfg.temporal_length,
+                context_dim=(None if cfg.temporal_selfatt_only
+                             else cfg.context_dim),
             )
         }
 

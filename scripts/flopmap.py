@@ -16,6 +16,7 @@ sys.path.insert(0, "/root/repo")
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.extend import core as jex_core
 
 from mudg_tpu.nn import attention as A
 from mudg_tpu.nn import functional as F
@@ -55,13 +56,13 @@ def count_flops(jaxpr) -> float:
             total += _conv_flops(eqn)
         else:
             for v in eqn.params.values():
-                if isinstance(v, jax.extend.core.ClosedJaxpr):
+                if isinstance(v, jex_core.ClosedJaxpr):
                     total += count_flops(v.jaxpr)
-                elif isinstance(v, jax.extend.core.Jaxpr):
+                elif isinstance(v, jex_core.Jaxpr):
                     total += count_flops(v)
                 elif isinstance(v, (tuple, list)):
                     for x in v:
-                        if isinstance(x, jax.extend.core.ClosedJaxpr):
+                        if isinstance(x, jex_core.ClosedJaxpr):
                             total += count_flops(x.jaxpr)
     return total
 
@@ -88,6 +89,9 @@ def main():
         return U.unet_apply(p, cfg, x, ts, ctx, c_label=lab, impl="xla")
 
     def total():
+        # make_jaxpr hits the tracing cache for an already-seen function
+        # object + avals, which would silently ignore the stubs below
+        jax.clear_caches()
         return count_flops(jax.make_jaxpr(fwd)(params, x).jaxpr)
 
     base = total()

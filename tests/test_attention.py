@@ -401,3 +401,49 @@ def test_fused_geglu_ff_true_backward_parity():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b),
             rtol=0.1, atol=5e-2 * max(float(jnp.abs(b).max()), 1e-6))
+
+
+def test_temporal_transformer_cross_path():
+    """only_self_att=False (reference attention.py:556-566): the vectorized
+    cross path must equal a literal per-batch loop with the reference's
+    repeat mapping (spatial row i attends context frame i // (hw//t)), and
+    perturbing one frame's context must touch only that frame's rows."""
+    b, t, h, w, c, heads, dh, dctx, l = 2, 4, 4, 8, 64, 2, 32, 48, 5
+    p = A.init_temporal_transformer(
+        jax.random.PRNGKey(20), c, heads=heads, dim_head=dh,
+        use_linear=True, context_dim=dctx)
+    # proj_out is zero-init (reference zero_module) -> randomize so the
+    # transformer output actually moves
+    p["proj_out"] = F.init_linear(jax.random.PRNGKey(21), heads * dh, c)
+    x = jax.random.normal(jax.random.PRNGKey(22), (b, t, h, w, c)) * 0.5
+    ctx = jax.random.normal(jax.random.PRNGKey(23), (b * t, l, dctx))
+    out = A.temporal_transformer(p, x, ctx, heads=heads, impl="xla")
+    assert out.shape == x.shape
+
+    # literal per-batch loop (the reference's serial j-loop)
+    hw = h * w
+    r = hw // t
+    rows = F.group_norm(p["norm"], x, eps=1e-6)
+    rows = rows.transpose(0, 2, 3, 1, 4).reshape(b * hw, t, c)
+    rows = A._proj(p["proj_in"], rows).reshape(b, hw, t, -1)
+    ctx4 = ctx.reshape(b, t, l, dctx)
+    y = jnp.stack([
+        A.basic_transformer_block(
+            p["transformer_blocks"]["0"], rows[j],
+            jnp.repeat(ctx4[j], r, axis=0), heads=heads, impl="xla")
+        for j in range(b)
+    ]).reshape(b * hw, t, -1)
+    y = A._proj(p["proj_out"], y)
+    y = y.reshape(b, h, w, t, c).transpose(0, 3, 1, 2, 4) + x
+    np.testing.assert_allclose(np.asarray(out), np.asarray(y),
+                               atol=2e-5, rtol=2e-5)
+
+    # frame->row mapping: perturb frame 1 of batch 0 only
+    ctx2 = ctx.at[1].add(1.0)  # row 1 of (b t) = batch 0, frame 1
+    out2 = A.temporal_transformer(p, x, ctx2, heads=heads, impl="xla")
+    diff = np.abs(np.asarray(out2 - out)).sum(axis=(1, 4))  # (b, h, w)
+    assert diff[1].max() == 0.0  # batch 1 untouched
+    flat = diff[0].reshape(hw)
+    touched = np.nonzero(flat > 1e-7)[0]
+    assert touched.size > 0
+    assert touched.min() >= r and touched.max() < 2 * r

@@ -121,3 +121,43 @@ def test_zero_init_out_conv():
     cfg = tiny_cfg()
     params = U.init_unet(jax.random.PRNGKey(0), cfg)
     np.testing.assert_allclose(np.asarray(params["out"]["2"]["weight"]), 0.0)
+
+
+def test_unet_temporal_cross_attention_path():
+    """temporal_selfatt_only=False (openaimodel3d.py:412 only_self_att):
+    temporal blocks' attn2 cross-attends per-frame context. The forward must
+    run, differ from a zeroed-context forward (context reaches the temporal
+    blocks), and the init must size attn2 k/v to context_dim."""
+    cfg = tiny_cfg(temporal_selfatt_only=False)
+    params = U.init_unet(jax.random.PRNGKey(0), cfg)
+    ia = params["init_attn"]["0"]["transformer_blocks"]["0"]["attn2"]
+    assert ia["to_k"]["weight"].shape[0] == cfg.context_dim
+    # temporal blocks (not init_attn) as well
+    plans = U.block_plan(cfg)[0]
+    ti = next(i for i, plan in enumerate(plans)
+              for lt, _ in plan if lt == "temporal")
+    li = next(str(j) for j, (lt, _) in enumerate(plans[ti]) if lt == "temporal")
+    tb = params["input_blocks"][str(ti)][li]["transformer_blocks"]["0"]["attn2"]
+    assert tb["to_k"]["weight"].shape[0] == cfg.context_dim
+
+    # re-randomize every leaf: init_unet zero-inits the final conv and the
+    # transformers' proj_out, which would make the output context-blind
+    leaves, treedef = jax.tree.flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(3), len(leaves))
+    params = jax.tree.unflatten(
+        treedef,
+        [jax.random.normal(k, l.shape, jnp.float32) * 0.05
+         for k, l in zip(keys, leaves)])
+
+    b, t = 1, cfg.temporal_length
+    x = jax.random.normal(jax.random.PRNGKey(1),
+                          (b, t, 8, 8, cfg.in_channels)) * 0.5
+    ts_ = jnp.zeros((b,), jnp.int32)
+    ctx = jax.random.normal(
+        jax.random.PRNGKey(2),
+        (b, 77 + t * cfg.image_tokens_per_frame, cfg.context_dim))
+    lab = jnp.zeros((b,), jnp.int32)
+    out = U.unet_apply(params, cfg, x, ts_, ctx, c_label=lab, impl="xla")
+    assert np.all(np.isfinite(np.asarray(out)))
+    out0 = U.unet_apply(params, cfg, x, ts_, ctx * 0, c_label=lab, impl="xla")
+    assert float(jnp.abs(out - out0).max()) > 1e-6
