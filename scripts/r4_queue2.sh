@@ -1,0 +1,26 @@
+# Round-4 TPU queue, part 2 — run after r4_queue.sh completes.
+# Follow-ups from part-1 results: the GS 5M regression attribution
+# (3.0 s vs round-2's 2.65), the MDM1024 per-family map (where do the
+# 1219 ms go), and int8 outlier policy variants (clip_pct).
+set -x
+cd /root/repo
+LOG=/tmp/r4_tpu.log
+START=${1:-1}
+run() {
+  step=$1; shift
+  t=$1; shift
+  [ "$step" -lt "$START" ] && return 0
+  echo "=== q2 step $step: $* $(date -u +%H:%M:%S) ===" >> $LOG
+  timeout "$t" "$@" >> $LOG 2>&1
+  echo "=== q2 step $step exit $? ===" >> $LOG
+}
+
+# 1. GS sort A/B + phase split at 5M (attributes the fwd regression)
+run 1 2400 python scripts/gssort_ab.py 5
+# 2. same at 2M (the other regressed point)
+run 2 2400 python scripts/gssort_ab.py 2
+# 3. MDM1024 per-family inference map (pair with flopmap --preset=mdm1024)
+run 3 7200 python scripts/fambench.py --preset=mdm1024
+# 4. int8-conv quality with percentile clipping under outliers
+run 4 3600 python scripts/int8_quality.py --outliers --clip_pct=99.9
+echo "QUEUE2 DONE $(date -u)" >> $LOG
