@@ -23,7 +23,7 @@ V5E_BF16 = 197e12
 
 
 def timed(fn, *args, n_long=64, n_short=8):
-    def chain(x, n, *rest):
+    def chain(x, *rest, n):
         def body(c, _):
             y = fn(c, *rest)
             return (c + 0.01 * y.astype(c.dtype) if y.shape == c.shape
@@ -56,7 +56,7 @@ def main():
     ]
     for name, xs, c in shapes:
         x = jax.random.normal(key, xs, jnp.bfloat16) * 0.1
-        p = {"weight": jax.random.normal(key, (c, c, 3, 3), jnp.bfloat16) * 0.02,
+        p = {"weight": jax.random.normal(key, (3, 3, c, c), jnp.bfloat16) * 0.02,
              "bias": jnp.zeros((c,), jnp.bfloat16)}
 
         def fwd(c_, p_):

@@ -23,4 +23,7 @@ run 2 2400 python scripts/gssort_ab.py 2
 run 3 7200 python scripts/fambench.py --preset=mdm1024
 # 4. int8-conv quality with percentile clipping under outliers
 run 4 3600 python scripts/int8_quality.py --outliers --clip_pct=99.9
+# 5-6. re-run the probes that crashed in part 1 (chain-signature bug fixed)
+run 5 1800 python scripts/convbwd.py
+run 6 2400 python scripts/tconvbwd.py
 echo "QUEUE2 DONE $(date -u)" >> $LOG

@@ -30,7 +30,7 @@ V5E_BF16 = 197e12
 
 
 def timed(fn, *args, n_long=48, n_short=8):
-    def chain(x, n, *rest):
+    def chain(x, *rest, n):
         def body(c, _):
             y = fn(c, *rest)
             return (c + 0.01 * y if y.shape == c.shape
