@@ -89,11 +89,12 @@ def main():
         # int8 measured 1.5-2x and no fused kernel is displaced).
         from mudg_tpu import quant
 
-        if i8_policy not in ("1", "all", "conv"):
+        if i8_policy not in ("1", "all", "conv", "conv_wide"):
             raise SystemExit(
-                f"MUDG_BENCH_INT8={i8_policy!r} — expected '1', 'all', or 'conv'"
+                f"MUDG_BENCH_INT8={i8_policy!r} — expected '1', 'all', "
+                f"'conv', or 'conv_wide'"
             )
-        which = "conv" if i8_policy == "conv" else "all"
+        which = i8_policy if i8_policy in ("conv", "conv_wide") else "all"
         unet = quant.quantize_pytree(unet, which=which)
         log(f"int8-quantized UNet (MUDG_BENCH_INT8={i8_policy})")
     vae_shapes = jax.eval_shape(lambda k: V.init_vae(k, vcfg), rng)

@@ -73,6 +73,8 @@ def prepare_serving_params(params, quantize: str, sp, min_size=None):
 
     quantize: 'none' | 'int8' (W8A8 dynamic, every conv/linear) |
     'int8-conv' (W8A8 on spatial convs ONLY — the measured-win policy) |
+    'int8-conv-wide' (convs + wide C>=1024 matmuls, where no fused bf16
+    kernel is displaced — see quant.quantize_pytree) |
     'int8-weights' (weight-only). min_size: minimum weight-element count to
     quantize (None = quant.py default).
     Measured end-to-end on v5e (docs/STATE.md): blanket 'int8' is a net
@@ -91,7 +93,8 @@ def prepare_serving_params(params, quantize: str, sp, min_size=None):
         mode = "w8" if quantize == "int8-weights" else "w8a8"
         params = dict(params, unet=quant.quantize_pytree(
             params["unet"], mode=mode, min_size=min_size,
-            which="conv" if quantize == "int8-conv" else "all",
+            which={"int8-conv": "conv",
+                   "int8-conv-wide": "conv_wide"}.get(quantize, "all"),
             conv_mode="w8" if sp is not None else None))
     if sp is not None:
         unet, n = quant.conv_w8a8_to_w8(params["unet"])
@@ -145,7 +148,8 @@ def main(argv=None):
                         "is ~2x faster on TPU (fp32 norm/softmax islands "
                         "apply either way)")
     p.add_argument("--quantize", default="none",
-                   choices=("none", "int8", "int8-conv", "int8-weights"),
+                   choices=("none", "int8", "int8-conv", "int8-conv-wide",
+                            "int8-weights"),
                    help="post-training quantization of the UNet for serving "
                         "(quant.py). 'int8' = W8A8 dynamic (int8 weights + "
                         "dynamic activation scales, int32 MXU dots); "

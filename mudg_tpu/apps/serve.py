@@ -75,7 +75,8 @@ def main(argv=None):
     p.add_argument("--prompt", default="A photo a of driving scene.")
     p.add_argument("--dtype", default="bf16", choices=("bf16", "f32"))
     p.add_argument("--quantize", default="none",
-                   choices=("none", "int8", "int8-conv", "int8-weights"))
+                   choices=("none", "int8", "int8-conv", "int8-conv-wide",
+                            "int8-weights"))
     p.add_argument("--quantize_min_size", type=int, default=None,
                    help="min weight elements to quantize (see render_infer "
                         "--quantize_min_size; 200000 = v5e MFU-aware policy)")

@@ -110,6 +110,14 @@ def quantize_pytree(params, *, min_size: int | None = None, mode: str = "w8a8",
           matmul layers forfeit the fused bf16 Pallas kernels, while int8
           convs measured 1.5-2x (ds1 conv3x3 1.04 -> 0.52 ms) and the conv
           population never overlaps the fused kernels.
+      "conv_wide" — "conv" plus WIDE matmul leaves (2-D linears and (3,1,1)
+          temporal convs with min channel >= 1024). At C >= 1024 no fused
+          bf16 matmul kernel is eligible anyway (kernels/{mlp,temporal_attn,
+          spatial_attn} all stop below 1024; flash attention is
+          activation-only and still applies), so nothing is displaced, and
+          the int8 probe measured ~2-3x there ((5120, 1280) dyn-W8A8
+          0.076 -> 0.025 ms, docs/STATE.md round-2 session 11). Targets the
+          MDM1024/ds4 + middle-block widths.
 
     Output-channel axis is -1 for every layout in this codebase
     (Linear (in, out), ConvNd (*k, in, out) — nn/functional.py:7-12).
@@ -129,17 +137,29 @@ def quantize_pytree(params, *, min_size: int | None = None, mode: str = "w8a8",
     assert mode in ("w8a8", "w8"), mode
     conv_mode = mode if conv_mode is None else conv_mode
     assert conv_mode in ("w8a8", "w8"), conv_mode
-    assert which in ("all", "conv"), which
+    assert which in ("all", "conv", "conv_wide"), which
+    WIDE_MIN = 1024
 
     def is_spatial_conv(w) -> bool:
         return w.ndim > 2 and tuple(w.shape[:3]) != (3, 1, 1)
+
+    def is_wide_matmul(w) -> bool:
+        # 2-D linear or (3,1,1) temporal conv (runs as shifted matmuls)
+        # whose narrowest channel dim is >= WIDE_MIN
+        if w.ndim == 2:
+            return min(w.shape) >= WIDE_MIN
+        return tuple(w.shape[:3]) == (3, 1, 1) and min(w.shape[-2:]) >= WIDE_MIN
 
     def keyname(w) -> str:
         m = conv_mode if is_spatial_conv(w) else mode
         return "weight_i8" if m == "w8a8" else "weight_q8"
 
     def selected(w) -> bool:
-        return which == "all" or is_spatial_conv(w)
+        if which == "all":
+            return True
+        if which == "conv":
+            return is_spatial_conv(w)
+        return is_spatial_conv(w) or is_wide_matmul(w)
 
     def picked(p) -> bool:
         return (_is_quantizable_leaf_dict(p)

@@ -62,9 +62,12 @@ def main():
 
     outliers = "--outliers" in sys.argv
     clip_pct = None
+    which = "conv"
     for a in sys.argv[1:]:
         if a.startswith("--clip_pct="):
             clip_pct = float(a.split("=", 1)[1])
+        if a.startswith("--which="):
+            which = a.split("=", 1)[1]
 
     def mk():
         out = []
@@ -82,7 +85,7 @@ def main():
     vae_shapes = jax.eval_shape(lambda k: V.init_vae(k, vcfg), rng)
     vae = jax.tree.map(lambda s: jnp.full(s.shape, 0.01, jnp.float32),
                        vae_shapes)
-    unet_q = quant.quantize_pytree(unet, which="conv", clip_pct=clip_pct)
+    unet_q = quant.quantize_pytree(unet, which=which, clip_pct=clip_pct)
     log("params ready")
 
     sched = M.MDMConfig().schedule()
@@ -128,7 +131,7 @@ def main():
     got, t_i8 = run(unet_q, "int8-conv")
     mse = float(np.mean((got - ref) ** 2))
     psnr = 10.0 * np.log10(4.0 / max(mse, 1e-12))  # pixel range [-1, 1]
-    tag = "int8-conv" if clip_pct is None else f"int8-conv(clip{clip_pct})"
+    tag = f"int8-{which}" + ("" if clip_pct is None else f"(clip{clip_pct})")
     print(f"pixel PSNR {tag} vs bf16: {psnr:.2f} dB "
           f"(bf16 {t_bf16:.3f} s, {tag} {t_i8:.3f} s, "
           f"outliers={outliers})")

@@ -88,7 +88,7 @@ if __name__ == "__main__":
 
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=5)
-    p.add_argument("--int8", default=None, choices=("all", "conv"),
+    p.add_argument("--int8", default=None, choices=("all", "conv", "conv_wide"),
                    help="quantize the UNet first (quant.quantize_pytree "
                         "which=...) to measure the int8 serving policies "
                         "at stage-2 scale")

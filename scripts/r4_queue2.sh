@@ -26,4 +26,9 @@ run 4 3600 python scripts/int8_quality.py --outliers --clip_pct=99.9
 # 5-6. re-run the probes that crashed in part 1 (chain-signature bug fixed)
 run 5 1800 python scripts/convbwd.py
 run 6 2400 python scripts/tconvbwd.py
+# 7-8. int8 conv_wide policy (convs + C>=1024 matmuls): MDM1024 + MDM512
+run 7 2400 python scripts/mdm1024_smoke.py --steps 5 --int8 conv_wide
+run 8 2400 env MUDG_BENCH_INT8=conv_wide python bench.py
+# 9. conv_wide quality (activation-quant error on wide attention/FF matmuls)
+run 9 3600 python scripts/int8_quality.py --which=conv_wide
 echo "QUEUE2 DONE $(date -u)" >> $LOG

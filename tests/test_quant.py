@@ -348,3 +348,28 @@ def test_quantize_weight_clip_pct_beats_absmax_on_outliers():
     q = quant.quantize_pytree(p, min_size=0, clip_pct=99.9)
     q_ref, _ = quant.quantize_weight(wj, clip_pct=99.9)
     np.testing.assert_array_equal(np.asarray(q["weight_i8"]), np.asarray(q_ref))
+
+
+def test_quantize_pytree_which_conv_wide():
+    """conv_wide = spatial convs + matmul-like leaves with min channel dim
+    >= 1024 (2-D linears AND (3,1,1) temporal convs, which run as shifted
+    matmuls); narrow matmuls and norms stay untouched."""
+    rng = np.random.default_rng(11)
+    mk = lambda *s: jnp.asarray(rng.normal(0, 0.05, s).astype(np.float32))
+    p = {
+        "conv": {"weight": mk(3, 3, 8, 8)},
+        "tconv_narrow": {"weight": mk(3, 1, 1, 320, 320)},
+        "tconv_wide": {"weight": mk(3, 1, 1, 1280, 1280)},
+        "lin_narrow": {"weight": mk(320, 320)},
+        "lin_wide": {"weight": mk(1280, 1280)},
+        "lin_rect": {"weight": mk(1280, 640)},  # min dim 640 < 1024
+        "norm": {"weight": mk(1280)},
+    }
+    q = quant.quantize_pytree(p, min_size=0, which="conv_wide")
+    assert "weight_i8" in q["conv"]
+    assert "weight" in q["tconv_narrow"]          # narrow tconv untouched
+    assert "weight_i8" in q["tconv_wide"]
+    assert "weight" in q["lin_narrow"]
+    assert "weight_i8" in q["lin_wide"]
+    assert "weight" in q["lin_rect"]
+    assert "weight" in q["norm"]
