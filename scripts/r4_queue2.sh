@@ -31,4 +31,6 @@ run 7 2400 python scripts/mdm1024_smoke.py --steps 5 --int8 conv_wide
 run 8 2400 env MUDG_BENCH_INT8=conv_wide python bench.py
 # 9. conv_wide quality (activation-quant error on wide attention/FF matmuls)
 run 9 3600 python scripts/int8_quality.py --which=conv_wide
+# 10. fambwd spatial retry with the unfused-FF pairing (part-1 step 10 OOM'd)
+run 10 3600 python scripts/fambwd.py spatial
 echo "QUEUE2 DONE $(date -u)" >> $LOG
