@@ -147,7 +147,7 @@ def main():
             A, "spatial_transformer",
             lambda p, x, context=None, **kw: x),
         "temporal_transformer": lambda: stub(
-            A, "temporal_transformer", lambda p, x, **kw: x),
+            A, "temporal_transformer", lambda p, x, context=None, **kw: x),
         "feed_forward_block": lambda: stub(
             A, "feed_forward_block", lambda pf, pn, x, impl="auto": x),
         "temporal_conv": lambda: stub(

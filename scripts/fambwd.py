@@ -107,7 +107,7 @@ def main():
                                 lambda p, x, context=None, **kw: x),
         # whole temporal transformer blocks
         "temporal": lambda: stub(A, "temporal_transformer",
-                                 lambda p, x, **kw: x),
+                                 lambda p, x, context=None, **kw: x),
         # the GEGLU FFs inside both (overlaps the two above)
         "ff": lambda: stub(A, "feed_forward_block",
                            lambda pf, pn, x, impl="auto": x),

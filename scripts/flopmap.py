@@ -113,7 +113,7 @@ def main():
         "spatial_txf": lambda: stub(A, "spatial_transformer",
                                     lambda p, x, context=None, **kw: x),
         "temporal_txf": lambda: stub(A, "temporal_transformer",
-                                     lambda p, x, **kw: x),
+                                     lambda p, x, context=None, **kw: x),
         "ff_geglu": lambda: stub(A, "feed_forward_block",
                                  lambda pf, pn, x, impl="auto": x),
         "attend_cores": lambda: stub(

@@ -33,4 +33,7 @@ run 8 2400 env MUDG_BENCH_INT8=conv_wide python bench.py
 run 9 3600 python scripts/int8_quality.py --which=conv_wide
 # 10. fambwd spatial retry with the unfused-FF pairing (part-1 step 10 OOM'd)
 run 10 3600 python scripts/fambwd.py spatial
+# 11. fambwd temporal at dots_attn (part-1 step 11 stub crashed on the new
+#     positional context arg; stub fixed)
+run 11 3600 python scripts/fambwd.py temporal --remat=dots_attn
 echo "QUEUE2 DONE $(date -u)" >> $LOG
