@@ -11,6 +11,7 @@ Commands map to the apps package:
   segment      SegFormer semantic maps per frame    (apps.segment)
   densify      learned/classical depth densification (apps.densify_depth)
   quantize     checkpoint -> int8 orbax for serving (apps.quantize_ckpt)
+  precompute-latents  VAE moment caches for fast training (apps.precompute_latents)
   bench        the repo benchmark                   (bench.py main)
 """
 from __future__ import annotations
@@ -47,6 +48,8 @@ def main(argv=None):
         from .apps.densify_depth import main as run
     elif cmd == "quantize":
         from .apps.quantize_ckpt import main as run
+    elif cmd == "precompute-latents":
+        from .apps.precompute_latents import main as run
     elif cmd == "bench":
         import importlib.util
         import os

@@ -104,6 +104,13 @@ def main(argv=None):
                         "weights over 'model' (parallel/tp.py; composes "
                         "with --fsdp). Forces the pure-XLA step (Pallas "
                         "kernels cannot be partitioned)")
+    p.add_argument("--latents", action="store_true",
+                   help="train from precomputed VAE moment caches "
+                        "(`python -m mudg_tpu precompute-latents` first): "
+                        "removes the frozen VAE encode from the step — "
+                        "~30%% of the MDM512 bs=1 step (docs/STATE.md r4). "
+                        "Incompatible with --sample_every (sampling needs "
+                        "pixel conditions)")
     p.add_argument("--sp", type=int, default=1,
                    help="sequence-parallel degree: builds a 2D ('data', "
                         "'seq') mesh and shards the UNet ACTIVATIONS "
@@ -222,8 +229,12 @@ def main(argv=None):
         sp=sp_shard,
     )
 
+    if args.latents and args.sample_every:
+        raise SystemExit("--latents batches carry no pixel conditions; "
+                         "use --sample_every 0 or drop --latents")
     ds = WaymoDataset(args.items, video_length=args.video_length,
-                      resolution=resolution, seed=args.seed)
+                      resolution=resolution, seed=args.seed,
+                      latents=args.latents)
     loader = BatchLoader(ds, args.batch_size, accum_steps=args.accum,
                          tokenizer=tokenizer, seed=args.seed)
 
@@ -231,7 +242,8 @@ def main(argv=None):
     val_loader = None
     if args.val_items:
         val_ds = WaymoDataset(args.val_items, video_length=args.video_length,
-                              resolution=resolution, seed=args.seed + 1)
+                              resolution=resolution, seed=args.seed + 1,
+                              latents=args.latents)
         val_loader = BatchLoader(
             val_ds, args.batch_size, accum_steps=1, tokenizer=tokenizer,
             shuffle=False,

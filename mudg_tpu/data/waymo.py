@@ -70,12 +70,18 @@ def resize_center_crop(frames: np.ndarray, resolution) -> np.ndarray:
 
 @dataclass
 class WaymoDataset:
-    """Multi-task sampler over preprocessed scene directories."""
+    """Multi-task sampler over preprocessed scene directories.
+
+    latents=True serves precomputed VAE posterior moments (data/latents.py
+    sibling .npy caches, built by `python -m mudg_tpu precompute-latents`)
+    instead of pixel stacks — removing the frozen VAE encode from the
+    training step (~30% of the bs=1 step, docs/STATE.md round 4)."""
     items_path: str
     video_length: int = 16
     resolution: tuple = (320, 512)
     train_labels: tuple = ("color", "semantic", "depth")
     seed: int = 0
+    latents: bool = False
     items: list = field(init=False)
 
     def __post_init__(self):
@@ -114,9 +120,58 @@ class WaymoDataset:
         h, w = self.resolution
         return np.stack([_imread_rgb(p, (w, h), nearest) for p in paths])
 
+    def load_item_latents(self, index: int, task: str | None = None) -> dict:
+        """Precomputed-moments form of load_item: per-frame posterior moment
+        .npy caches instead of pixels (same task sampling, same frame-0
+        splice — the spliced sparse[0] IS the dense color frame 0, so its
+        cached moment is reused directly), plus the spliced frame-0 pixels
+        for the CLIP image branch."""
+        from . import latents as L
+
+        task = task or self.sample_task()
+        sample = self.items[index % len(self.items)]
+        res = self.resolution
+
+        def zload(paths, kind):
+            return np.stack([
+                np.load(L.latent_path(p, res, kind)).astype(np.float32)
+                for p in paths])
+
+        dense_color_paths = self._paths(sample, "dense_color_base")
+        if task == "color":
+            dense_m = zload(dense_color_paths, "b")
+        elif task == "semantic":
+            dense_m = zload(self._paths(sample, "dense_semantic_base"), "b")
+        elif task == "depth":
+            dense_m = zload(
+                self._paths(sample, "dense_depth_base", ext=".npy"), "d")
+        elif task == "normal":
+            dense_m = zload(
+                self._paths(sample, "dense_normal_base", ext=".npy"), "m")
+        else:
+            raise ValueError(task)
+
+        sparse_m = zload(self._paths(sample, "sparse_color_base"), "n")
+        sparse_m[0] = np.load(
+            L.latent_path(dense_color_paths[0], res, "b")).astype(np.float32)
+        depth_m = zload(
+            self._paths(sample, "sparse_depth_base", ext=".npy"), "d")
+
+        return {
+            "dense_moments": dense_m,
+            "sparse_moments": sparse_m,
+            "depth_moments": depth_m,
+            "sparse_frame0": L.load_pixels(dense_color_paths[0], res, "b"),
+            "caption": DEFAULT_CAPTION,
+            "fps": 10,
+            "class_label": CLASS_LABELS[task],
+        }
+
     def load_item(self, index: int, task: str | None = None) -> dict:
         """One training example; mirrors _get_{color,semantic,depth,normal} +
         _get_sparse_depth."""
+        if self.latents:
+            return self.load_item_latents(index, task)
         task = task or self.sample_task()
         sample = self.items[index % len(self.items)]
         h, w = self.resolution
@@ -291,14 +346,20 @@ class BatchLoader:
         finally:
             stop.set()  # unblock the worker if iteration was abandoned
 
+    # pixel-batch and cached-latent-batch array keys (training_loss accepts
+    # either form; see models/mdm.py batch-key docstring)
+    _STACK_KEYS = ("dense_frames", "sparse_frames", "sparse_depth",
+                   "dense_moments", "sparse_moments", "depth_moments",
+                   "sparse_frame0")
+
     def collate(self, items: list[dict]) -> dict:
         out = {
-            "dense_frames": np.stack([it["dense_frames"] for it in items]),
-            "sparse_frames": np.stack([it["sparse_frames"] for it in items]),
-            "sparse_depth": np.stack([it["sparse_depth"] for it in items]),
-            "class_label": np.asarray([it["class_label"] for it in items], np.int32),
-            "fps": np.asarray([it["fps"] for it in items], np.int32),
+            k: np.stack([it[k] for it in items])
+            for k in self._STACK_KEYS if k in items[0]
         }
+        out["class_label"] = np.asarray(
+            [it["class_label"] for it in items], np.int32)
+        out["fps"] = np.asarray([it["fps"] for it in items], np.int32)
         if self.tokenizer is not None:
             out["tokens"] = self.tokenizer([it["caption"] for it in items])
         return out

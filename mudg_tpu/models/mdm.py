@@ -174,6 +174,11 @@ def training_loss(
       tokens        (B, 77) int32     caption tokens
       class_label   (B,) int32        task id
       fps           (B,) int32
+    OR the precomputed-latent form (WaymoDataset(latents=True), see
+    data/latents.py — removes the frozen VAE encode from the step):
+      {dense,sparse,depth}_moments (B, T, H/8, W/8, 2z) posterior moments
+      sparse_frame0 (B, H, W, 3)    spliced frame-0 pixels (CLIP branch)
+      tokens / class_label / fps    as above
     null_tokens: (77,) tokens of the empty prompt (CFG null); OR pass
     null_emb (1-or-B, 77, D), the precomputed null-prompt embedding — the
     null prompt is constant across steps, so encoding it once outside the
@@ -182,7 +187,8 @@ def training_loss(
 
     Returns (loss, metrics dict).
     """
-    b = batch["dense_frames"].shape[0]
+    b = batch["dense_moments" if "dense_moments" in batch
+              else "dense_frames"].shape[0]
     keys = jax.random.split(rng, 7)
 
     # AMP for the frozen encoders: the reference trains precision:16, so its
@@ -203,6 +209,21 @@ def training_loss(
         zc = jnp.zeros_like(z)
         zc = zc.at[:, 0].set(z[:, 0]).at[:, -1].set(z[:, -1])
         c_concat = jnp.concatenate([zc, jnp.zeros_like(zc)], axis=-1)
+    elif "dense_moments" in batch:
+        # Precomputed-latent path (data/latents.py, net-new vs the
+        # reference): the dataset ships cached posterior MOMENTS; only the
+        # posterior sampling (elementwise) runs here. Removes the frozen
+        # encoder forward — ~225 ms of the 737 ms bs=1 step (30%,
+        # scripts/fambwd.py 'encode' family, docs/STATE.md round 4).
+        # Sampling at train time keeps the latent noise distribution
+        # identical to on-the-fly encoding.
+        m3 = jnp.concatenate(
+            [batch["dense_moments"], batch["sparse_moments"],
+             batch["depth_moments"]], axis=0).astype(jnp.float32)
+        z3 = V.sample_scaled(cfg.vae, m3, rng=keys[0])
+        z, sparse_z, depth_z = jnp.split(z3, 3, axis=0)
+        c_concat = jnp.concatenate(
+            [sparse_z, depth_z], axis=-1).astype(compute_dtype)
     else:
         # One stacked VAE encode for all three per-step encodes (dense target
         # + sparse RGB + sparse depth, ddpm3d.py:1077-1079): the encoder is
@@ -240,7 +261,11 @@ def training_loss(
     ).astype(z.dtype).reshape(b, 1, 1, 1)
 
     prompt_emb = jnp.where(prompt_mask, null_emb, cond_emb)
-    img = batch["sparse_frames"][:, 0] * input_mask
+    # cached-latent batches carry the spliced sparse frame 0 (= dense color
+    # frame 0, waymo_data.py:100) as pixels for the CLIP image branch
+    img_src = (batch["sparse_frame0"] if "sparse_frame0" in batch
+               else batch["sparse_frames"][:, 0])
+    img = img_src * input_mask
     # trainable image_proj inside; CLIP tower + resampler in compute_dtype
     # (AMP, see the encoder note above). The resampler's grads flow in bf16
     # exactly as the reference's fp16 autocast does.

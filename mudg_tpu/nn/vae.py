@@ -132,6 +132,28 @@ def _chunked(fn, x, chunk: int):
     return ys.reshape(n, *ys.shape[2:])
 
 
+def encode_moments_video(params, cfg: VAEConfig, x, chunk: int = 1):
+    """x: (B, T, H, W, 3) -> (B, T, H/8, W/8, 2z) raw posterior moments
+    (mean ++ logvar, including quant_conv) — the cacheable half of encoding
+    for precomputed-latent training (data/latents.py). sample_scaled is the
+    train-time half; encode_video == sample_scaled(encode_moments_video)."""
+    b, t = x.shape[:2]
+    flat = x.reshape(b * t, *x.shape[2:])
+    m = _chunked(
+        lambda xc: F.conv2d(params["quant_conv"], encoder_apply(params["encoder"], cfg, xc)),
+        flat, chunk)
+    return m.reshape(b, t, *m.shape[1:])
+
+
+def sample_scaled(cfg: VAEConfig, moments, rng=None):
+    """moments (..., 2z) -> scaled latent (..., z): posterior sample (or mode
+    when rng is None) times scale_factor — identical distribution to
+    encode()'s output given the same moments (ddpm3d.py:611-618)."""
+    post = DiagonalGaussian.from_moments(moments)
+    z = post.sample(rng) if rng is not None else post.mode()
+    return cfg.scale_factor * z
+
+
 def encode_video(params, cfg: VAEConfig, x, rng=None, chunk: int = 1):
     """x: (B, T, H, W, 3) -> (B, T, H/8, W/8, z). chunk = frames per scan step."""
     b, t = x.shape[:2]

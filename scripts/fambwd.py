@@ -40,14 +40,31 @@ def build():
 
     bs, t, hh, ww = 1, 16, 320, 512
     key = jax.random.PRNGKey(1)
-    batch = {
-        "dense_frames": jax.random.uniform(key, (bs, t, hh, ww, 3), minval=-1, maxval=1),
-        "sparse_frames": jax.random.uniform(key, (bs, t, hh, ww, 3), minval=-1, maxval=1),
-        "sparse_depth": jax.random.uniform(key, (bs, t, hh, ww, 3), minval=-1, maxval=1),
-        "tokens": jnp.zeros((bs, 77), jnp.int32),
-        "class_label": jnp.zeros((bs,), jnp.int32),
-        "fps": jnp.full((bs,), 10, jnp.int32),
-    }
+    if "--latents" in sys.argv:
+        # precomputed-moments batch (data/latents.py): the step skips the
+        # frozen VAE encode entirely — shapes are all that matter here
+        batch = {
+            "dense_moments": jax.random.normal(
+                key, (bs, t, hh // 8, ww // 8, 8)),
+            "sparse_moments": jax.random.normal(
+                key, (bs, t, hh // 8, ww // 8, 8)),
+            "depth_moments": jax.random.normal(
+                key, (bs, t, hh // 8, ww // 8, 8)),
+            "sparse_frame0": jax.random.uniform(
+                key, (bs, hh, ww, 3), minval=-1, maxval=1),
+            "tokens": jnp.zeros((bs, 77), jnp.int32),
+            "class_label": jnp.zeros((bs,), jnp.int32),
+            "fps": jnp.full((bs,), 10, jnp.int32),
+        }
+    else:
+        batch = {
+            "dense_frames": jax.random.uniform(key, (bs, t, hh, ww, 3), minval=-1, maxval=1),
+            "sparse_frames": jax.random.uniform(key, (bs, t, hh, ww, 3), minval=-1, maxval=1),
+            "sparse_depth": jax.random.uniform(key, (bs, t, hh, ww, 3), minval=-1, maxval=1),
+            "tokens": jnp.zeros((bs, 77), jnp.int32),
+            "class_label": jnp.zeros((bs,), jnp.int32),
+            "fps": jnp.full((bs,), 10, jnp.int32),
+        }
     sched_arrays = M.schedule_arrays(cfg.schedule())
     null_tokens = jnp.zeros((77,), jnp.int32)
     return cfg, trainable, frozen, batch, sched_arrays, null_tokens
