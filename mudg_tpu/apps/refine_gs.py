@@ -141,6 +141,10 @@ def main(argv=None):
                         "(render/splat.virtual_poses) and write PNGs + mp4s "
                         "— the pipeline's novel-view end product")
     p.add_argument("--shift", type=float, default=2.0)
+    p.add_argument("--max_pairs", type=int, default=0,
+                   help="Pallas-path pair budget; 0 (default) right-sizes "
+                        "per scene via the exact count pass "
+                        "(tile_raster.auto_budgets)")
     p.add_argument("--raster_backend", default="auto",
                    choices=("auto", "pallas", "xla"),
                    help="auto = Pallas tile kernels on TPU, XLA elsewhere")
@@ -257,12 +261,17 @@ def main(argv=None):
     ]
     cfg = GT.GSConfig(backend=args.raster_backend, sh_degree=args.sh_degree,
                       semantic_weight=args.semantic_weight if args.semantic
-                      else 0.0, appearance=args.appearance)
-    raster = GT._pick_raster(cfg, args.width, args.height)
+                      else 0.0, appearance=args.appearance,
+                      max_pairs=args.max_pairs or None)
     state, history = GT.fit_scene(
         g, views_j, cfg, width=args.width, height=args.height,
         steps=args.steps, log_every=max(args.steps // 20, 1),
     )
+    # eval renders reuse the trained scene's right-sized budgets
+    raster = GT._pick_raster(
+        cfg, args.width, args.height,
+        GT.resolve_budgets(cfg, state.gaussians, views_j,
+                           width=args.width, height=args.height))
 
     os.makedirs(args.out, exist_ok=True)
     rdir = os.path.join(args.out, "renders")

@@ -151,26 +151,10 @@ def _expand(span, max_slots):
     return owner, local, slot < total, total
 
 
-def build_pairs(proj, colors, *, width: int, height: int, max_pairs: int,
-                max_rows: int | None = None, extras=None):
-    """Returns (feats (P_pad/ppr, 128) f32, bounds (n_tiles+1,) i32 with
-    every segment padded to a CK multiple, n_dropped). Pair lanes:
-    [mux, muy, conic_a, conic_b, conic_c, opacity, r, g, b, depth,
-    extras..., 0...]; padding pairs are all-zero (alpha == 0, no
-    contribution, zero grads). extras: optional (N, E) per-gaussian payload
-    channels (e.g. softmaxed semantic logits) composited alongside color —
-    E > 6 widens the pack from 16 to 32 lanes (4 pairs per row).
-
-    Pair enumeration is EXACT (FlashGS-style, arXiv 2408.07967): gaussians
-    expand to tile ROWS over the alpha-cutoff ellipse's y-extent, each row
-    expands to exactly the tiles its row x-interval (ellipse_row_xrange)
-    touches. No AABB slack ever reaches the sort or the budget, so max_pairs
-    only needs to cover true intersections (2-4x less than a bounding-box
-    enumeration for typical anisotropic/low-opacity scenes)."""
-    tw, th = _tile_grid(width, height)
-    n_tiles = tw * th
-    max_rows = max_rows or max(max_pairs // 2, 1024)
-
+def _enumerate_rows(proj, *, tw: int, th: int, max_rows: int):
+    """Shared enumeration prefix (gaussian -> ellipse tile rows -> per-row
+    exact tile x-span). Returns (rg, ty, tx0, span_x, total_rows) where
+    span_x[i] is the EXACT number of tiles row i's ellipse slice touches."""
     # level 1: gaussian -> tile rows over the cutoff ellipse's y-extent
     y0 = jnp.clip(jnp.floor((proj.means2d[:, 1] - proj.extents[:, 1]) / TILE), 0, th - 1).astype(jnp.int32)
     y1 = jnp.clip(jnp.floor((proj.means2d[:, 1] + proj.extents[:, 1]) / TILE), 0, th - 1).astype(jnp.int32)
@@ -194,6 +178,78 @@ def build_pairs(proj, colors, *, width: int, height: int, max_pairs: int,
     tx0 = jnp.maximum(tx0, 0)
     tx1 = jnp.minimum(tx1, tw - 1)
     span_x = jnp.where(row_valid & nonempty & (tx1 >= tx0), tx1 - tx0 + 1, 0)
+    return rg, ty, tx0, span_x, total_rows
+
+
+def count_pairs(proj, *, width: int, height: int, max_rows: int):
+    """EXACT (total_rows, total_pairs) of the enumeration — the right-sizing
+    pass for `max_pairs` (build_pairs' cost scales with the BUDGET, not the
+    true pair count: the level-2 expand, the sort and the feature gather are
+    all budget-sized). Needs only a ROW budget; rows are ~10-100x fewer than
+    pairs. If total_rows > max_rows the pair count is a lower bound — bump
+    the row bucket and re-count (see auto_budgets)."""
+    tw, th = _tile_grid(width, height)
+    _, _, _, span_x, total_rows = _enumerate_rows(
+        proj, tw=tw, th=th, max_rows=max_rows)
+    return total_rows, jnp.sum(span_x)  # i32: pairs < 2^31 by construction
+
+
+def _bucket(n: int, slack: float = 1.1) -> int:
+    """Round n*slack up to {1, 1.25, 1.5, 1.75} x 2^k (max 25% over-size,
+    4 compile buckets per octave), then to a CK multiple."""
+    import math
+    t = max(int(n * slack), 1024)
+    k = max(t.bit_length() - 3, 0)
+    b = ((t >> k) + 1) << k if (t >> k) << k != t else t
+    return (b + CK - 1) // CK * CK
+
+
+def auto_budgets(g, K, w2c, *, width: int, height: int,
+                 slack: float = 1.1, start_rows: int = 1 << 18):
+    """Right-size (max_rows, max_pairs) for a scene+view by running the cheap
+    count pass (host-level helper — call OUTSIDE jit; the returned ints are
+    static shapes for the jitted build). Each distinct bucket pays one
+    compile; re-counting a grown scene usually lands in the same bucket.
+    The reference's CUDA rasterizer sizes its key buffer exactly this way —
+    a prefix-sum over per-gaussian tile counts before allocation
+    (diff-gaussian-rasterization InclusiveSum; here the allocation must be
+    a static shape, hence buckets)."""
+    proj = project_gaussians(g, K, w2c, width=width, height=height)
+    fn = jax.jit(functools.partial(count_pairs, width=width, height=height,
+                                   max_rows=start_rows))
+    rows, pairs = fn(proj)
+    rows = int(rows)
+    if rows > start_rows:  # row budget too small -> pair count was a floor
+        fn = jax.jit(functools.partial(count_pairs, width=width,
+                                       height=height,
+                                       max_rows=_bucket(rows, slack)))
+        rows, pairs = fn(proj)
+        rows = int(rows)
+    return _bucket(rows, slack), _bucket(int(pairs), slack)
+
+
+def build_pairs(proj, colors, *, width: int, height: int, max_pairs: int,
+                max_rows: int | None = None, extras=None):
+    """Returns (feats (P_pad/ppr, 128) f32, bounds (n_tiles+1,) i32 with
+    every segment padded to a CK multiple, n_dropped). Pair lanes:
+    [mux, muy, conic_a, conic_b, conic_c, opacity, r, g, b, depth,
+    extras..., 0...]; padding pairs are all-zero (alpha == 0, no
+    contribution, zero grads). extras: optional (N, E) per-gaussian payload
+    channels (e.g. softmaxed semantic logits) composited alongside color —
+    E > 6 widens the pack from 16 to 32 lanes (4 pairs per row).
+
+    Pair enumeration is EXACT (FlashGS-style, arXiv 2408.07967): gaussians
+    expand to tile ROWS over the alpha-cutoff ellipse's y-extent, each row
+    expands to exactly the tiles its row x-interval (ellipse_row_xrange)
+    touches. No AABB slack ever reaches the sort or the budget, so max_pairs
+    only needs to cover true intersections (2-4x less than a bounding-box
+    enumeration for typical anisotropic/low-opacity scenes)."""
+    tw, th = _tile_grid(width, height)
+    n_tiles = tw * th
+    max_rows = max_rows or max(max_pairs // 2, 1024)
+
+    rg, ty, tx0, span_x, total_rows = _enumerate_rows(
+        proj, tw=tw, th=th, max_rows=max_rows)
 
     # level 2: row -> pairs
     rr, plocal, valid, total = _expand(span_x, max_pairs)

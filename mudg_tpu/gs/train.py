@@ -64,7 +64,13 @@ class GSConfig:
     backend: str = "auto"            # "auto" | "pallas" | "xla": auto picks
                                      # the capacity-free Pallas tile kernels
                                      # on TPU, the sort+scan path elsewhere
-    max_pairs: int = 1 << 21         # Pallas-path global pair budget
+    max_pairs: int | None = 1 << 21  # Pallas-path global pair budget; None =
+                                     # right-size per scene via
+                                     # tile_raster.auto_budgets (build_pairs
+                                     # cost scales with the budget — a blind
+                                     # budget is pure waste); re-resolved
+                                     # after every densify (which recompiles
+                                     # anyway: N changes shape)
 
 
 def gaussian_window(size=11, sigma=1.5):
@@ -172,22 +178,53 @@ def init_state(g: Gaussians, cfg: GSConfig,
     return state._replace(opt_state=opt.init(_train_params(state)))
 
 
-def _pick_raster(cfg: GSConfig, width: int, height: int):
-    use_pallas = cfg.backend == "pallas" or (
+def _use_pallas(cfg: GSConfig) -> bool:
+    return cfg.backend == "pallas" or (
         cfg.backend == "auto" and jax.default_backend() == "tpu"
     )
-    if use_pallas:
+
+
+def _pick_raster(cfg: GSConfig, width: int, height: int, budgets=None):
+    """budgets: optional (max_rows, max_pairs) from tile_raster.auto_budgets,
+    overriding cfg.max_pairs (fit_scene resolves them per scene when
+    cfg.max_pairs is None)."""
+    if _use_pallas(cfg):
+        if budgets is not None:
+            mr, mp = budgets
+        else:
+            mr, mp = None, cfg.max_pairs or (1 << 21)
         return partial(rasterize_pallas, width=width, height=height,
-                       max_pairs=cfg.max_pairs)
+                       max_pairs=mp, max_rows=mr)
     return partial(
         rasterize, width=width, height=height,
         max_per_tile=cfg.max_per_tile, tiles_per_gaussian=cfg.tiles_per_gaussian,
     )
 
 
-def make_gs_train_step(cfg: GSConfig, *, width: int, height: int):
+def resolve_budgets(cfg: GSConfig, g: Gaussians, views, *, width: int,
+                    height: int, slack: float = 1.25, sample: int = 8):
+    """(max_rows, max_pairs) for the scene: max of the exact count pass over
+    <= `sample` evenly-spaced views, bucketed with extra slack for the
+    unsampled views and for group-transform drift. None when auto-sizing is
+    off (cfg.max_pairs set) or the XLA backend is active."""
+    if cfg.max_pairs is not None or not _use_pallas(cfg):
+        return None
+    from .tile_raster import auto_budgets
+
+    idx = np.unique(np.linspace(0, len(views) - 1,
+                                min(sample, len(views))).astype(int))
+    mr = mp = 1024
+    for i in idx:
+        r, p = auto_budgets(g, views[i]["K"], views[i]["w2c"],
+                            width=width, height=height, slack=slack)
+        mr, mp = max(mr, r), max(mp, p)
+    return mr, mp
+
+
+def make_gs_train_step(cfg: GSConfig, *, width: int, height: int,
+                       budgets=None):
     opt = make_gs_optimizer(cfg)
-    raster = _pick_raster(cfg, width, height)
+    raster = _pick_raster(cfg, width, height, budgets)
 
     def loss_fn(floats, active, group, obj_T, obj_vis, view_idx, K, w2c,
                 target_rgb, target_depth, depth_mask, sem_ids):
@@ -389,7 +426,10 @@ def fit_scene(gaussians: Gaussians, views: list[dict], cfg: GSConfig,
 
         gaussians = with_sem(gaussians, cfg.semantic_classes)
     state = init_state(gaussians, cfg, n_views=len(views))
-    step_fn = make_gs_train_step(cfg, width=width, height=height)
+    budgets = resolve_budgets(cfg, gaussians, views, width=width,
+                              height=height)
+    step_fn = make_gs_train_step(cfg, width=width, height=height,
+                                 budgets=budgets)
     rng = np.random.default_rng(seed)
     history = []
     for i in range(steps):
@@ -409,6 +449,14 @@ def fit_scene(gaussians: Gaussians, views: list[dict], cfg: GSConfig,
             state = reset_opacity(state, cfg)
         if (i + 1) % cfg.densify_every == 0:
             state = densify_and_prune(state, cfg)
+            # N changed shape -> the step recompiles regardless; re-size the
+            # pair budget for the grown/pruned scene while we're at it
+            nb = resolve_budgets(cfg, state.gaussians, views, width=width,
+                                 height=height)
+            if nb != budgets:
+                budgets = nb
+                step_fn = make_gs_train_step(cfg, width=width, height=height,
+                                             budgets=budgets)
         if (i + 1) % log_every == 0:
             history.append({"step": i + 1, "loss": float(metrics["loss"])})
     return state, history

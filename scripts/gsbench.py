@@ -56,10 +56,20 @@ def main():
         sizes = (5_000_000,)
     for n in sizes:
         g, K, w2c = make_scene(n)
-        mp = max(4 * n, 1 << 22)
+        if os.environ.get("GSBENCH_AUTO", "0") == "1":
+            # right-sized budgets from the exact count pass (the production
+            # path: GSConfig.max_pairs=None); build cost scales with the
+            # budget, so the blind 4n budget is pure slack
+            t0 = time.perf_counter()
+            mr, mp = TR.auto_budgets(g, K, w2c, width=W, height=H)
+            print(f"n={n:>9,}: auto budgets rows={mr:,} pairs={mp:,} "
+                  f"(count pass {time.perf_counter()-t0:.1f}s incl compile)",
+                  flush=True)
+        else:
+            mr, mp = None, max(4 * n, 1 << 22)
 
         f_pal = jax.jit(lambda g: TR.rasterize_pallas(
-            g, K, w2c, width=W, height=H, max_pairs=mp))
+            g, K, w2c, width=W, height=H, max_pairs=mp, max_rows=mr))
         t_pal, out = bench(f_pal, g)
         print(f"n={n:>9,}: pallas fwd {t_pal*1e3:8.1f} ms  "
               f"dropped={int(out.n_dropped)} alpha_mean={float(out.alpha.mean()):.3f}",
@@ -78,7 +88,8 @@ def main():
 
         # training step: fwd+bwd
         def loss_fn(g):
-            o = TR.rasterize_pallas(g, K, w2c, width=W, height=H, max_pairs=mp)
+            o = TR.rasterize_pallas(g, K, w2c, width=W, height=H,
+                                    max_pairs=mp, max_rows=mr)
             return jnp.mean(o.color ** 2) + jnp.mean(o.alpha)
 
         grad_f = jax.jit(jax.grad(lambda m: loss_fn(g._replace(means=m))))

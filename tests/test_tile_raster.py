@@ -272,3 +272,72 @@ def test_semantic_training_on_pallas_backend():
     assert state.gaussians.sem is not None
     assert int(jnp.argmax(state.gaussians.sem[0])) == 7
     assert history[-1]["loss"] < history[0]["loss"]
+
+
+def test_bucket_grid():
+    # {1, 1.25, 1.5, 1.75} x 2^k grid, ceiling semantics, CK-multiple
+    for n in (1, 1000, 1024, 1100, 5_000_000, 19_999_999):
+        b = TR._bucket(n, slack=1.0)
+        assert b >= max(n, 1024) and b % TR.CK == 0
+        # over-size bounded by one grid step (25%) + CK rounding
+        assert b <= int(max(n, 1024) * 1.25) + TR.CK
+    assert TR._bucket(1 << 20, slack=1.0) == 1 << 20  # exact grid point kept
+
+
+def test_count_pairs_matches_enumeration():
+    """count_pairs' total must equal the number of pairs build_pairs actually
+    emits (derived from its per-tile counts with a drop-free budget)."""
+    from mudg_tpu.gs.gaussians import project_gaussians, view_colors
+
+    g, K, w2c = _scene(n=250)
+    proj = project_gaussians(g, K, w2c, width=WIDTH, height=HEIGHT)
+    rows, pairs = TR.count_pairs(proj, width=WIDTH, height=HEIGHT,
+                                 max_rows=1 << 14)
+    feats, bounds, nd = TR.build_pairs(
+        proj, view_colors(g, w2c), width=WIDTH, height=HEIGHT,
+        max_pairs=1 << 14)
+    assert int(nd) == 0
+    pe = int(pairs)
+    assert int(rows) > 0 and pe > 0
+    # authoritative cross-check via dropped-pair accounting (budgets must be
+    # CK-aligned for the pack reshape): the next CK multiple >= pe is
+    # drop-free; the CK multiple below pe drops exactly pe - budget pairs
+    mp_hi = (pe + TR.CK - 1) // TR.CK * TR.CK
+    _, _, nd_hi = TR.build_pairs(
+        proj, view_colors(g, w2c), width=WIDTH, height=HEIGHT,
+        max_pairs=mp_hi)
+    assert int(nd_hi) == 0
+    mp_lo = max((pe - 1) // TR.CK * TR.CK, TR.CK)
+    if mp_lo < pe:
+        _, _, nd_lo = TR.build_pairs(
+            proj, view_colors(g, w2c), width=WIDTH, height=HEIGHT,
+            max_pairs=mp_lo)
+        assert int(nd_lo) == pe - mp_lo
+
+
+def test_auto_budgets_drop_free_and_parity():
+    g, K, w2c = _scene(n=300)
+    mr, mp = TR.auto_budgets(g, K, w2c, width=WIDTH, height=HEIGHT)
+    assert mp % TR.CK == 0 and mr >= 1024
+    auto = TR.rasterize_pallas(g, K, w2c, width=WIDTH, height=HEIGHT,
+                               max_pairs=mp, max_rows=mr)
+    blind = TR.rasterize_pallas(g, K, w2c, width=WIDTH, height=HEIGHT,
+                                max_pairs=1 << 14)
+    assert int(auto.n_dropped) == 0
+    np.testing.assert_allclose(np.asarray(auto.color),
+                               np.asarray(blind.color), atol=1e-6)
+
+
+def test_fit_scene_auto_budget():
+    """cfg.max_pairs=None resolves per-scene budgets (pallas backend) and
+    trains; the budget machinery must survive densify re-resolution."""
+    from mudg_tpu.gs import train as GT
+
+    g, K, w2c = _scene(n=40)
+    target = TR.rasterize_pallas(g, K, w2c, width=32, height=32,
+                                 max_pairs=4096).color
+    cfg = GT.GSConfig(densify_every=5, backend="pallas", max_pairs=None)
+    views = [{"K": K, "w2c": w2c, "rgb": jnp.asarray(target)}]
+    state, history = GT.fit_scene(g, views, cfg, width=32, height=32,
+                                  steps=12, log_every=4)
+    assert np.isfinite(history[-1]["loss"])
