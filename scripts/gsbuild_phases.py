@@ -71,9 +71,13 @@ def main():
           flush=True)
 
     # -- budget sensitivity on the full forward ------------------------------
-    for mult in (4.0, 2.0, 1.0, 0.5, 0.25):
-        mp = int(4 * n * mult) // 128 * 128
-        if mp < tp * 1.05:
+    # sweep RELATIVE TO THE TRUE pair count (the first run of this probe put
+    # mult x 4n up to 80M pairs and OOM'd the compile service); the blind 4n
+    # budget rides along as the gsbench reference point
+    for mp in (4 * n, int(tp * 2.0), int(tp * 1.5), int(tp * 1.25),
+               TR._bucket(tp), int(tp * 0.75), int(tp * 0.5)):
+        mp = mp // 128 * 128
+        if mp < tp:
             note = " (UNDER true pairs — drops expected)"
         else:
             note = ""
