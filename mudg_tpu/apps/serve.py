@@ -85,6 +85,7 @@ def main(argv=None):
                         "(parallel/sp.py; same flag as render_infer). "
                         "Ignored on a single device.")
     p.add_argument("--base_scale", type=float, default=None)
+    p.add_argument("--sampler", default="ddim", choices=("ddim", "dpmpp"))
     p.add_argument("--poll", type=float, default=2.0,
                    help="spool scan interval (seconds)")
     p.add_argument("--max_requests", type=int, default=None,
@@ -114,7 +115,7 @@ def main(argv=None):
         guidance_rescale=args.guidance_rescale, eta=args.eta,
         timestep_spacing=args.timestep_spacing, fps=args.fps,
         dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32,
-        impl=impl, sp=sp,
+        impl=impl, sp=sp, sampler=args.sampler,
     )
 
     os.makedirs(args.spool, exist_ok=True)

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from ..core import diffusion as D
 from ..core import schedules as S
-from ..diffusion import ddim
+from ..diffusion import ddim, dpm
 from ..nn import unet3d as U
 from ..nn import vae as V
 from ..parallel.sp import frames as SP_frames
@@ -337,6 +337,7 @@ def sample(
     dtype=jnp.float32,
     vae_dtype=None,
     sp=None,
+    sampler: str = "ddim",
 ):
     """image_guided_synthesis (virtual_pose_render.py:62-147).
 
@@ -356,12 +357,20 @@ def sample(
 
     sp: optional parallel.sp.SeqSharding for sequence-parallel single-clip
     latency scaling over a mesh (requires impl="xla").
+
+    sampler: "ddim" (reference parity, virtual_pose_render.py recipe) or
+    "dpmpp" (DPM-Solver++(2M), diffusion/dpm.py — net-new: ~50-step-DDIM
+    quality in ~20 model calls; eta is ignored, the solver is deterministic).
     """
     vdt = dtype if vae_dtype is None else vae_dtype
     sched = cfg.schedule()
-    consts = ddim.make_ddim_constants(
-        sched, num_steps, timestep_spacing=timestep_spacing, eta=eta
-    )
+    if sampler == "dpmpp":
+        consts = dpm.make_dpmpp_constants(
+            sched, num_steps, timestep_spacing=timestep_spacing)
+    else:
+        consts = ddim.make_ddim_constants(
+            sched, num_steps, timestep_spacing=timestep_spacing, eta=eta
+        )
     b, t_frames = sparse_frames.shape[:2]
     fs_arr = jnp.full((b,), cfg.default_fs if fs is None else fs, jnp.int32)
 
@@ -417,7 +426,10 @@ def sample(
 
     h, w = c_concat.shape[2], c_concat.shape[3]
     shape = (b, t_frames, h, w, cfg.unet.out_channels)
-    z = ddim.ddim_sample(model_fn, rng, shape, consts, dtype=dtype)
+    if sampler == "dpmpp":
+        z = dpm.dpmpp_sample(model_fn, rng, shape, consts, dtype=dtype)
+    else:
+        z = ddim.ddim_sample(model_fn, rng, shape, consts, dtype=dtype)
     if not decode:
         return z
     x = V.decode_video(params["vae"], cfg.vae,

@@ -121,5 +121,26 @@ def test_sample_three_point_cfg_latents(setup):
     assert np.all(np.isfinite(np.asarray(z)))
 
 
+def test_sample_dpmpp(setup):
+    """sampler="dpmpp" (DPM-Solver++(2M), diffusion/dpm.py) through the full
+    guided pipeline: finite, in-range, and actually a different trajectory
+    than DDIM at equal steps."""
+    cfg, params, batch = setup
+    kw = dict(
+        sparse_frames=batch["sparse_frames"],
+        sparse_depth=batch["sparse_depth"],
+        tokens=batch["tokens"],
+        null_tokens=jnp.zeros((77,), jnp.int32),
+        class_label=batch["class_label"],
+        num_steps=3, guidance_scale=7.5, guidance_rescale=0.7, impl="xla",
+    )
+    out = M.sample(params, cfg, jax.random.PRNGKey(3), sampler="dpmpp", **kw)
+    assert out.shape == (B, T, H, W, 3)
+    assert np.all(np.isfinite(np.asarray(out)))
+    assert float(jnp.max(jnp.abs(out))) <= 1.0
+    out_ddim = M.sample(params, cfg, jax.random.PRNGKey(3), **kw)
+    assert float(jnp.abs(out - out_ddim).max()) > 1e-6
+
+
 def test_task_labels():
     assert M.TASK_LABELS == {"color": 0, "semantic": 1, "depth": 500, "normal": 1000}
