@@ -205,7 +205,8 @@ def _bucket(n: int, slack: float = 1.1) -> int:
 
 
 def auto_budgets(g, K, w2c, *, width: int, height: int,
-                 slack: float = 1.1, start_rows: int = 1 << 18):
+                 slack: float = 1.1, start_rows: int = 1 << 18,
+                 bucket: bool = True):
     """Right-size (max_rows, max_pairs) for a scene+view by running the cheap
     count pass (host-level helper — call OUTSIDE jit; the returned ints are
     static shapes for the jitted build). Each distinct bucket pays one
@@ -213,7 +214,11 @@ def auto_budgets(g, K, w2c, *, width: int, height: int,
     The reference's CUDA rasterizer sizes its key buffer exactly this way —
     a prefix-sum over per-gaussian tile counts before allocation
     (diff-gaussian-rasterization InclusiveSum; here the allocation must be
-    a static shape, hence buckets)."""
+    a static shape, hence buckets).
+
+    bucket=False: skip the {1,1.25,1.5,1.75}x2^k grid (up to 25% over-size)
+    and return the exact slack-scaled count CK-ceiled — for one-off renders
+    of a fixed scene+view, where a recompile per call is inherent anyway."""
     proj = project_gaussians(g, K, w2c, width=width, height=height)
     fn = jax.jit(functools.partial(count_pairs, width=width, height=height,
                                    max_rows=start_rows))
@@ -225,6 +230,9 @@ def auto_budgets(g, K, w2c, *, width: int, height: int,
                                        max_rows=_bucket(rows, slack)))
         rows, pairs = fn(proj)
         rows = int(rows)
+    if not bucket:
+        ck_ceil = lambda n: (max(int(n * slack), 1024) + CK - 1) // CK * CK
+        return ck_ceil(rows), ck_ceil(int(pairs))
     return _bucket(rows, slack), _bucket(int(pairs), slack)
 
 

@@ -61,7 +61,9 @@ def main():
             # path: GSConfig.max_pairs=None); build cost scales with the
             # budget, so the blind 4n budget is pure slack
             t0 = time.perf_counter()
-            mr, mp = TR.auto_budgets(g, K, w2c, width=W, height=H)
+            # one-off render of a fixed view: exact count, no bucket slack
+            mr, mp = TR.auto_budgets(g, K, w2c, width=W, height=H,
+                                     slack=1.0, bucket=False)
             print(f"n={n:>9,}: auto budgets rows={mr:,} pairs={mp:,} "
                   f"(count pass {time.perf_counter()-t0:.1f}s incl compile)",
                   flush=True)
