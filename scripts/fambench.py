@@ -168,7 +168,8 @@ def main():
             print(f"-{name}: {t*1e3:7.2f} ms  (family ~{(base-t)*1e3:6.2f} ms)",
                   flush=True)
         except Exception as e:
-            print(f"-{name}: FAIL {type(e).__name__}", flush=True)
+            print(f"-{name}: FAIL {type(e).__name__}: {str(e)[:300]}",
+                  flush=True)
         finally:
             restore()
 
