@@ -39,6 +39,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LOG2E = 1.4426950408889634
+NEG_BIG = -1e30
 
 
 def _interpret() -> bool:
@@ -370,3 +371,174 @@ def _svjp_fwd(x, p_norm, p_attn, heads):
 
 
 stream_self_attention.defvjp(_svjp_fwd, _vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Flash-block variant: online-softmax over streamed k/v chunks, with the LN,
+# q projection, out projection and residual fused around the flash core.
+# Admits MDM1024's ds1 shape (L=9216, C=320) where both kernels above are
+# VMEM-ineligible (k/v scratch alone is 11.8 MB). k/v come in PRE-PROJECTED
+# (B, L, C) full-width — computed by one XLA LN+matmul pair at ~95% MFU —
+# and are DMA'd in (bkv, C) chunks shared by ALL heads (the flash kernel's
+# (B, L, H, D) layout reloads per-head (bkv, 64) blocks instead).
+#
+# Measured motivation (docs/STATE.md round 4): at MDM1024 the attend family
+# is 330 ms of the 1035 ms UNet call (31% of peak vs flash's 37% standalone
+# and the D=64 structural 50%); the integrated-vs-standalone gap is the
+# XLA boundary traffic this kernel removes (q materialization, o round
+# trip, out-proj round trip, (B,L,H,D) transposes).
+# ---------------------------------------------------------------------------
+
+def _fb_kernel(x_ref, lnw, lnb, wq, wo, bo, k_hbm, v_hbm, o_ref,
+               kbuf, vbuf, macc, lacc, oacc, ksem, vsem,
+               *, heads, bq, bkv, seq):
+    c = x_ref.shape[-1]
+    d = c // heads
+    bi = pl.program_id(0)
+    nkv = seq // bkv
+
+    def kv_dma(slot, j):
+        return (
+            pltpu.make_async_copy(
+                k_hbm.at[bi, pl.ds(j * bkv, bkv), :], kbuf.at[slot],
+                ksem.at[slot]),
+            pltpu.make_async_copy(
+                v_hbm.at[bi, pl.ds(j * bkv, bkv), :], vbuf.at[slot],
+                vsem.at[slot]),
+        )
+
+    for dma in kv_dma(0, 0):
+        dma.start()
+
+    xc = x_ref[0]
+    q = jax.lax.dot(_ln(xc, lnw[...], lnb[...]), wq[...],
+                    preferred_element_type=jnp.float32
+                    ).astype(jnp.bfloat16)  # scale*log2e folded into wq
+
+    # per-head online-softmax state broadcast across each head's 64-lane
+    # block: layout-friendly (bq, C) f32 planes instead of (bq, heads)
+    # scalars (lane dim stays 128-aligned, all updates are elementwise)
+    macc[...] = jnp.full(macc.shape, NEG_BIG, jnp.float32)
+    lacc[...] = jnp.zeros(lacc.shape, jnp.float32)
+    oacc[...] = jnp.zeros(oacc.shape, jnp.float32)
+
+    def body(j, carry):
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(j + 1 < nkv)
+        def _prefetch():
+            for dma in kv_dma(jax.lax.rem(j + 1, 2), j + 1):
+                dma.start()
+
+        for dma in kv_dma(slot, j):
+            dma.wait()
+        for h in range(heads):
+            lo, hi = h * d, (h + 1) * d
+            s = jax.lax.dot_general(
+                q[:, lo:hi], kbuf[slot][:, lo:hi], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)     # (bq, bkv) base-2
+            m_new = jnp.maximum(macc[:, lo:hi],
+                                jnp.max(s, axis=-1, keepdims=True))
+            alpha = jnp.exp2(macc[:, lo:hi] - m_new)
+            p = jnp.exp2(s - m_new[:, 0:1])
+            lacc[:, lo:hi] = lacc[:, lo:hi] * alpha + jnp.sum(
+                p, axis=-1, keepdims=True)
+            pv = jax.lax.dot(p.astype(jnp.bfloat16), vbuf[slot][:, lo:hi],
+                             preferred_element_type=jnp.float32)
+            oacc[:, lo:hi] = oacc[:, lo:hi] * alpha + pv
+            macc[:, lo:hi] = m_new
+        return carry
+
+    jax.lax.fori_loop(0, nkv, body, 0)
+
+    o_all = (oacc[...] / lacc[...]).astype(jnp.bfloat16)
+    out = (jax.lax.dot(o_all, wo[...], preferred_element_type=jnp.float32)
+           + bo[...] + xc.astype(jnp.float32))
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _fb_pick(l, c, heads):
+    """(bq, bkv) fitting the 14.5 MB scoped budget, or (0, 0)."""
+    for bq in (256, 128):
+        if l % bq:
+            continue
+        for bkv in (2048, 1536, 1152, 1024, 768, 512):
+            if l % bkv or l // bkv < 2:
+                continue
+            est = (2 * 2 * bkv * c * 2        # k/v chunk double buffers
+                   + 2 * bq * bkv * 4         # score block + exp2 copy
+                   + 3 * bq * c * 4           # m/l/o accumulator planes
+                   + 2 * 2 * c * c * 2        # wq/wo, double-buffered consts
+                   + 2 * 2 * bq * c * 2 * 2   # x/out blocks, double-buffered
+                   + 3 * bq * c * 4)          # LN/q/out f32 transients
+            if est < int(14.5 * 2**20):
+                return bq, bkv
+    return 0, 0
+
+
+def flashblock_eligible(x, c, heads) -> bool:
+    """Long-L fallback tier: whole-block and streaming kernels are VMEM-
+    ineligible but the chunked online-softmax fits. bf16 only."""
+    l = x.shape[1]
+    return (
+        jax.default_backend() == "tpu"
+        and x.dtype == jnp.bfloat16
+        and c % heads == 0
+        and (c // heads) % 64 == 0
+        and _fb_pick(l, c, heads)[0] > 0
+    )
+
+
+def _fb_impl(x, p_norm, p_attn, *, heads):
+    from ..nn import functional as F
+
+    b, l, c = x.shape
+    bq, bkv = _fb_pick(l, c, heads)
+    wq, wk, wv, wo, bo = _prep(p_attn, c, heads)
+    lnw32 = p_norm["weight"].astype(jnp.float32).reshape(1, c)
+    lnb32 = p_norm["bias"].astype(jnp.float32).reshape(1, c)
+    # k/v in plain XLA at full width (LN + matmul fuse well, ~95% MFU);
+    # the kernel streams them per chunk, shared across heads
+    xn = F.layer_norm(p_norm, x)
+    k = jnp.einsum("blc,cd->bld", xn, wk.astype(x.dtype)).astype(jnp.bfloat16)
+    v = jnp.einsum("blc,cd->bld", xn, wv.astype(x.dtype)).astype(jnp.bfloat16)
+
+    const = pl.BlockSpec(memory_space=pltpu.VMEM)
+    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    return pl.pallas_call(
+        functools.partial(_fb_kernel, heads=heads, bq=bq, bkv=bkv, seq=l),
+        grid=(b, l // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, c), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            const, const, const, const, const,
+            hbm, hbm,
+        ],
+        out_specs=pl.BlockSpec((1, bq, c), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, l, c), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, bkv, c), jnp.bfloat16),   # k chunks
+            pltpu.VMEM((2, bkv, c), jnp.bfloat16),   # v chunks
+            pltpu.VMEM((bq, c), jnp.float32),        # m plane
+            pltpu.VMEM((bq, c), jnp.float32),        # l plane
+            pltpu.VMEM((bq, c), jnp.float32),        # o accumulator
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=_interpret(),
+    )(x, lnw32, lnb32, wq, wo, bo, k, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def flashblock_self_attention(x, p_norm, p_attn, heads):
+    """Chunked-KV LN -> spatial self-attention -> +residual for long L.
+    x: (B, L, C); see flashblock_eligible."""
+    return _fb_impl(x, p_norm, p_attn, heads=heads)
+
+
+def _fbvjp_fwd(x, p_norm, p_attn, heads):
+    return _fb_impl(x, p_norm, p_attn, heads=heads), (x, p_norm, p_attn)
+
+
+flashblock_self_attention.defvjp(_fbvjp_fwd, _vjp_bwd)

@@ -381,25 +381,32 @@ def basic_transformer_block(
         and p["attn1"]["to_out"]["0"]["weight"].shape == (c, c)
         and os.environ.get("MUDG_FUSED_SPATIAL", "1") == "1"
     )
-    use_stream = False
+    variant = None
     if use_sfused:
         from ..kernels import spatial_attn as SP
 
-        use_stream = not SP.eligible(x, c, heads)
-        if use_stream:
+        if SP.eligible(x, c, heads):
+            variant = "fused"
+        elif (SP.stream_eligible(x, c, heads)
+              and os.environ.get("MUDG_STREAM_SPATIAL", "1") == "1"):
             # streaming variant: x/out chunks ride manual DMAs, only k/v +
             # one score block live in VMEM — admits MDM1024's ds2 shape
             # (L=2304, C=640) where the whole-block kernel is VMEM-ineligible.
             # MUDG_STREAM_SPATIAL=0 keeps the flash path (A/B + safety valve).
-            use_sfused = (
-                SP.stream_eligible(x, c, heads)
-                and os.environ.get("MUDG_STREAM_SPATIAL", "1") == "1")
-        else:
-            use_sfused = True
-    if use_sfused:
-        x = (SP.stream_self_attention(x, p["norm1"], p["attn1"], heads)
-             if use_stream
-             else SP.fused_self_attention(x, p["norm1"], p["attn1"], heads))
+            variant = "stream"
+        elif (SP.flashblock_eligible(x, c, heads)
+              and os.environ.get("MUDG_FLASHBLOCK", "0") == "1"):
+            # long-L tier (MDM1024 ds1, L=9216): online softmax over k/v
+            # chunks shared across heads, LN/q-proj/out-proj/residual fused.
+            # OPT-IN (MUDG_FLASHBLOCK=1) until its first TPU measurement
+            # lands (scripts/sattn_fb.py + mdm1024 A/B, r4_queue8.sh) — the
+            # round-3 lesson: never default-on an unmeasured Pallas path.
+            variant = "flashblock"
+    if variant is not None:
+        fn = {"fused": SP.fused_self_attention,
+              "stream": SP.stream_self_attention,
+              "flashblock": SP.flashblock_self_attention}[variant]
+        x = fn(x, p["norm1"], p["attn1"], heads)
     else:
         x = cross_attention(
             p["attn1"], F.layer_norm(p["norm1"], x), None,

@@ -447,3 +447,42 @@ def test_temporal_transformer_cross_path():
     touched = np.nonzero(flat > 1e-7)[0]
     assert touched.size > 0
     assert touched.min() >= r and touched.max() < 2 * r
+
+
+def test_flashblock_spatial_self_attn_parity():
+    """kernels/spatial_attn.flashblock_self_attention (long-L tier: online
+    softmax over k/v chunks shared across heads, LN/q-proj/out-proj/residual
+    fused — MDM1024 ds1's L=9216) matches the XLA reference in interpret
+    mode across multiple kv chunks, and its custom-vjp gradients are the
+    XLA path's."""
+    from mudg_tpu.kernels import spatial_attn as SP
+
+    heads, c, l = 2, 128, 1024  # _fb_pick -> bq=256, bkv=512 (2 chunks)
+    assert SP._fb_pick(l, c, heads) == (256, 512)
+    rng = jax.random.PRNGKey(0)
+    p_attn = A.init_cross_attention(rng, c, heads=heads, dim_head=c // heads)
+    p_attn = jax.tree.map(lambda a: a.astype(jnp.float32), p_attn)
+    p_norm = {"weight": jnp.ones((c,), jnp.float32) * 1.1,
+              "bias": jnp.full((c,), 0.05, jnp.float32)}
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, l, c), jnp.float32)
+
+    ref = SP._xla_impl(x, p_norm, p_attn, heads=heads)
+    out = SP._fb_impl(x, p_norm, p_attn, heads=heads)
+    assert out.shape == ref.shape
+    scale = float(jnp.abs(ref).max())
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-2 * scale)
+
+    def loss_fb(x, n_, a_):
+        return jnp.sum(SP.flashblock_self_attention(x, n_, a_, heads) ** 2)
+
+    def loss_xla(x, n_, a_):
+        return jnp.sum(SP._xla_impl(x, n_, a_, heads=heads) ** 2)
+
+    gf = jax.grad(loss_fb, argnums=(0, 1, 2))(x, p_norm, p_attn)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(x, p_norm, p_attn)
+    jax.tree.map(
+        lambda a_, b_: np.testing.assert_allclose(
+            np.asarray(a_), np.asarray(b_),
+            rtol=0.1, atol=5e-2 * max(float(np.abs(np.asarray(b_)).max()), 1e-6)),
+        gf, gx)
