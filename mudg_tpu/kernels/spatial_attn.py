@@ -458,8 +458,12 @@ def _fb_kernel(x_ref, lnw, lnb, wq, wo, bo, k_hbm, v_hbm, o_ref,
 
 
 def _fb_pick(l, c, heads):
-    """(bq, bkv) fitting the 14.5 MB scoped budget, or (0, 0)."""
-    for bq in (256, 128):
+    """(bq, bkv) fitting the 14.5 MB scoped budget, or (0, 0). Larger bq
+    first: the whole k/v re-streams once per q-block, so k/v HBM traffic is
+    (l/bq) * l * c * 4 bytes — bq=512 at L=9216 C=320 is 7.7 GB/call (9.4 ms
+    at peak BW, hidden under the ~35 ms of D=64 dots), bq=128 would be 4x
+    that and poke above the compute envelope."""
+    for bq in (512, 256, 128):
         if l % bq:
             continue
         for bkv in (2048, 1536, 1152, 1024, 768, 512):

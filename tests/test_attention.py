@@ -457,8 +457,8 @@ def test_flashblock_spatial_self_attn_parity():
     XLA path's."""
     from mudg_tpu.kernels import spatial_attn as SP
 
-    heads, c, l = 2, 128, 1024  # _fb_pick -> bq=256, bkv=512 (2 chunks)
-    assert SP._fb_pick(l, c, heads) == (256, 512)
+    heads, c, l = 2, 128, 1024  # _fb_pick -> bq=512, bkv=512 (2 chunks)
+    assert SP._fb_pick(l, c, heads) == (512, 512)
     rng = jax.random.PRNGKey(0)
     p_attn = A.init_cross_attention(rng, c, heads=heads, dim_head=c // heads)
     p_attn = jax.tree.map(lambda a: a.astype(jnp.float32), p_attn)
