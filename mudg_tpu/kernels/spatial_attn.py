@@ -457,19 +457,28 @@ def _fb_kernel(x_ref, lnw, lnb, wq, wo, bo, k_hbm, v_hbm, o_ref,
     o_ref[0] = out.astype(o_ref.dtype)
 
 
+def _fb_cpad(c):
+    # manual HBM<->VMEM DMAs need a 128-multiple lane width (the round-2
+    # "HBM DMA lane slices must be 128-aligned" rule — C=320 crashed the
+    # compile helper at the first dma_start); k/v are lane-padded to the
+    # next 128 multiple for the DMA'd buffers only
+    return (c + 127) // 128 * 128
+
+
 def _fb_pick(l, c, heads):
     """(bq, bkv) fitting the 14.5 MB scoped budget, or (0, 0). Larger bq
     first: the whole k/v re-streams once per q-block, so k/v HBM traffic is
-    (l/bq) * l * c * 4 bytes — bq=512 at L=9216 C=320 is 7.7 GB/call (9.4 ms
+    (l/bq) * l * cp * 4 bytes — bq=512 at L=9216 C=320 is ~9 GB/call (11 ms
     at peak BW, hidden under the ~35 ms of D=64 dots), bq=128 would be 4x
     that and poke above the compute envelope."""
+    cp = _fb_cpad(c)
     for bq in (512, 256, 128):
         if l % bq:
             continue
         for bkv in (2048, 1536, 1152, 1024, 768, 512):
             if l % bkv or l // bkv < 2:
                 continue
-            est = (2 * 2 * bkv * c * 2        # k/v chunk double buffers
+            est = (2 * 2 * bkv * cp * 2       # k/v chunk double buffers
                    + 2 * bq * bkv * 4         # score block + exp2 copy
                    + 3 * bq * c * 4           # m/l/o accumulator planes
                    + 2 * 2 * c * c * 2        # wq/wo, double-buffered consts
@@ -506,6 +515,11 @@ def _fb_impl(x, p_norm, p_attn, *, heads):
     xn = F.layer_norm(p_norm, x)
     k = jnp.einsum("blc,cd->bld", xn, wk.astype(x.dtype)).astype(jnp.bfloat16)
     v = jnp.einsum("blc,cd->bld", xn, wv.astype(x.dtype)).astype(jnp.bfloat16)
+    cp = _fb_cpad(c)
+    if cp != c:  # lane-pad for the manual k/v DMAs (see _fb_cpad)
+        pad = [(0, 0), (0, 0), (0, cp - c)]
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
 
     const = pl.BlockSpec(memory_space=pltpu.VMEM)
     hbm = pl.BlockSpec(memory_space=pltpu.ANY)
@@ -522,8 +536,8 @@ def _fb_impl(x, p_norm, p_attn, *, heads):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, l, c), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, bkv, c), jnp.bfloat16),   # k chunks
-            pltpu.VMEM((2, bkv, c), jnp.bfloat16),   # v chunks
+            pltpu.VMEM((2, bkv, _fb_cpad(c)), jnp.bfloat16),   # k chunks
+            pltpu.VMEM((2, bkv, _fb_cpad(c)), jnp.bfloat16),   # v chunks
             pltpu.VMEM((bq, c), jnp.float32),        # m plane
             pltpu.VMEM((bq, c), jnp.float32),        # l plane
             pltpu.VMEM((bq, c), jnp.float32),        # o accumulator
