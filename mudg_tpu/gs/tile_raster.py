@@ -219,16 +219,20 @@ def auto_budgets(g, K, w2c, *, width: int, height: int,
     bucket=False: skip the {1,1.25,1.5,1.75}x2^k grid (up to 25% over-size)
     and return the exact slack-scaled count CK-ceiled — for one-off renders
     of a fixed scene+view, where a recompile per call is inherent anyway."""
-    proj = project_gaussians(g, K, w2c, width=width, height=height)
-    fn = jax.jit(functools.partial(count_pairs, width=width, height=height,
-                                   max_rows=start_rows))
-    rows, pairs = fn(proj)
+    def make(mr):
+        # the WHOLE pass — projection included — must run under one jit:
+        # eager project_gaussians materializes (N, 3, 3) intermediates that
+        # TPU tiling pads 57x (9.5 GB HBM OOM at N=5M, measured r4 q5)
+        @jax.jit
+        def fn(gg):
+            proj = project_gaussians(gg, K, w2c, width=width, height=height)
+            return count_pairs(proj, width=width, height=height, max_rows=mr)
+        return fn
+
+    rows, pairs = make(start_rows)(g)
     rows = int(rows)
     if rows > start_rows:  # row budget too small -> pair count was a floor
-        fn = jax.jit(functools.partial(count_pairs, width=width,
-                                       height=height,
-                                       max_rows=_bucket(rows, slack)))
-        rows, pairs = fn(proj)
+        rows, pairs = make(_bucket(rows, slack))(g)
         rows = int(rows)
     if not bucket:
         ck_ceil = lambda n: (max(int(n * slack), 1024) + CK - 1) // CK * CK
