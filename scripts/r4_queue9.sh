@@ -15,6 +15,8 @@ run() {
 }
 
 run 1 2400 python scripts/sattn_fb.py
+# gsbench 5M with exact budgets (q5 step 1 OOM'd in the eager count pass)
+run 4 2400 env GSBENCH_BIG=1 GSBENCH_AUTO=1 python scripts/gsbench.py
 run 2 3600 env MUDG_FLASHBLOCK=1 python scripts/mdm1024_smoke.py --steps 5
 run 3 3600 env MUDG_FLASHBLOCK=1 python scripts/mdm1024_smoke.py --steps 5 --int8 conv
 echo "QUEUE9 DONE $(date -u)" >> $LOG
