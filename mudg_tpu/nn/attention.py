@@ -395,12 +395,12 @@ def basic_transformer_block(
             # MUDG_STREAM_SPATIAL=0 keeps the flash path (A/B + safety valve).
             variant = "stream"
         elif (SP.flashblock_eligible(x, c, heads)
-              and os.environ.get("MUDG_FLASHBLOCK", "0") == "1"):
+              and os.environ.get("MUDG_FLASHBLOCK", "1") == "1"):
             # long-L tier (MDM1024 ds1, L=9216): online softmax over k/v
             # chunks shared across heads, LN/q-proj/out-proj/residual fused.
-            # OPT-IN (MUDG_FLASHBLOCK=1) until its first TPU measurement
-            # lands (scripts/sattn_fb.py + mdm1024 A/B, r4_queue8.sh) — the
-            # round-3 lesson: never default-on an unmeasured Pallas path.
+            # Measured (r4 q9): 51.5 vs 55.3 ms/block standalone (1.07x),
+            # MDM1024 e2e 1008 vs 1034 ms/step (51.0 vs 52.4 s/clip).
+            # MUDG_FLASHBLOCK=0 keeps the flash path (A/B + safety valve).
             variant = "flashblock"
     if variant is not None:
         fn = {"fused": SP.fused_self_attention,
