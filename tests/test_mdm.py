@@ -77,7 +77,9 @@ def test_training_loss_and_grads(setup):
         )
         return loss
 
-    loss, grads = jax.value_and_grad(loss_fn)(params)
+    # jitted: the eager per-op backward was the single slowest test in
+    # the suite (163.9 s; the jitted compile lands in the persistent cache)
+    loss, grads = jax.jit(jax.value_and_grad(loss_fn))(params)
     assert np.isfinite(float(loss))
     # v-param + ZTSNR with zero-init UNet: target is nonzero => loss > 0
     assert float(loss) > 0
@@ -90,8 +92,8 @@ def test_training_loss_and_grads(setup):
 
 def test_sample_two_point_cfg(setup):
     cfg, params, batch = setup
-    out = M.sample(
-        params, cfg, jax.random.PRNGKey(3),
+    out = jax.jit(lambda p, k: M.sample(
+        p, cfg, k,
         sparse_frames=batch["sparse_frames"],
         sparse_depth=batch["sparse_depth"],
         tokens=batch["tokens"],
@@ -99,7 +101,7 @@ def test_sample_two_point_cfg(setup):
         class_label=batch["class_label"],
         num_steps=2, guidance_scale=7.5, guidance_rescale=0.7,
         impl="xla",
-    )
+    ))(params, jax.random.PRNGKey(3))
     assert out.shape == (B, T, H, W, 3)
     assert np.all(np.isfinite(np.asarray(out)))
     assert float(jnp.max(jnp.abs(out))) <= 1.0
@@ -107,8 +109,8 @@ def test_sample_two_point_cfg(setup):
 
 def test_sample_three_point_cfg_latents(setup):
     cfg, params, batch = setup
-    z = M.sample(
-        params, cfg, jax.random.PRNGKey(4),
+    z = jax.jit(lambda p, k: M.sample(
+        p, cfg, k,
         sparse_frames=batch["sparse_frames"],
         sparse_depth=batch["sparse_depth"],
         tokens=batch["tokens"],
@@ -116,7 +118,7 @@ def test_sample_three_point_cfg_latents(setup):
         class_label=batch["class_label"],
         num_steps=2, guidance_scale=7.5, cfg_img=1.5, multiple_cond_cfg=True,
         decode=False, impl="xla",
-    )
+    ))(params, jax.random.PRNGKey(4))
     assert z.shape == (B, T, H // 2, W // 2, 4)
     assert np.all(np.isfinite(np.asarray(z)))
 
@@ -134,11 +136,13 @@ def test_sample_dpmpp(setup):
         class_label=batch["class_label"],
         num_steps=3, guidance_scale=7.5, guidance_rescale=0.7, impl="xla",
     )
-    out = M.sample(params, cfg, jax.random.PRNGKey(3), sampler="dpmpp", **kw)
+    sample_j = jax.jit(lambda p, k, sampler: M.sample(
+        p, cfg, k, sampler=sampler, **kw), static_argnums=2)
+    out = sample_j(params, jax.random.PRNGKey(3), "dpmpp")
     assert out.shape == (B, T, H, W, 3)
     assert np.all(np.isfinite(np.asarray(out)))
     assert float(jnp.max(jnp.abs(out))) <= 1.0
-    out_ddim = M.sample(params, cfg, jax.random.PRNGKey(3), **kw)
+    out_ddim = sample_j(params, jax.random.PRNGKey(3), "ddim")
     assert float(jnp.abs(out - out_ddim).max()) > 1e-6
 
 

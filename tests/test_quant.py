@@ -218,10 +218,11 @@ def test_unet_quantized_forward_close(dtype):
     ctx = jax.random.normal(rng, (b, 77 + t * 16, 16), dtype) * 0.3
     lbl = jnp.zeros((b,), jnp.int32)
 
-    y_ref = U.unet_apply(
-        jax.tree.map(lambda a: a.astype(dtype) if a.ndim >= 2 else a, params),
-        cfg, x, jnp.array([500]), ctx, c_label=lbl)
-    y_q = U.unet_apply(qparams, cfg, x, jnp.array([500]), ctx, c_label=lbl)
+    fwd = jax.jit(lambda pp: U.unet_apply(
+        pp, cfg, x, jnp.array([500]), ctx, c_label=lbl))
+    y_ref = fwd(
+        jax.tree.map(lambda a: a.astype(dtype) if a.ndim >= 2 else a, params))
+    y_q = fwd(qparams)
     assert y_q.shape == y_ref.shape and y_q.dtype == y_ref.dtype
     # bf16 reference itself has ~0.4% noise; int8 must stay in the same
     # regime. 20 dB latent SNR ~= 1% relative error end-to-end.

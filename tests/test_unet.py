@@ -66,7 +66,9 @@ def test_unet_forward_shapes_and_grad():
     ctx = jnp.ones((b, 77 + t * cfg.image_tokens_per_frame, cfg.context_dim))
     label = jnp.array([0, 500])
 
-    y = U.unet_apply(params, cfg, x, ts, ctx, c_label=label)
+    fwd = jax.jit(lambda p, remat: U.unet_apply(
+        p, cfg, x, ts, ctx, c_label=label, remat=remat), static_argnums=1)
+    y = fwd(params, False)
     assert y.shape == (b, t, h, w, cfg.out_channels)
     assert np.all(np.isfinite(np.asarray(y)))
 
@@ -76,11 +78,11 @@ def test_unet_forward_shapes_and_grad():
             U.unet_apply(p, cfg, x, ts, ctx, c_label=label, remat=True) ** 2
         )
 
-    g = jax.grad(loss)(params)
+    g = jax.jit(jax.grad(loss))(params)
     gnorm = sum(jnp.sum(jnp.abs(v)) for v in jax.tree.leaves(g))
     assert np.isfinite(float(gnorm)) and float(gnorm) >= 0
 
-    y2 = U.unet_apply(params, cfg, x, ts, ctx, c_label=label, remat=True)
+    y2 = fwd(params, True)
     np.testing.assert_allclose(np.asarray(y2), np.asarray(y), atol=1e-6)
 
 
