@@ -267,11 +267,19 @@ def main(argv=None):
         g, views_j, cfg, width=args.width, height=args.height,
         steps=args.steps, log_every=max(args.steps // 20, 1),
     )
-    # eval renders reuse the trained scene's right-sized budgets
+    # eval budgets are resolved over ALL views (train + holdout — holdout
+    # and +/-shift virtual cameras can see more pairs than any training
+    # view; the old train-views-only budget silently truncated novel
+    # views), with extra slack for the virtual trajectories. n_dropped is
+    # still checked per render below.
+    all_views_j = views_j + [
+        {k: jnp.asarray(v[k]) for k in v} for v in hold_views
+    ]
     raster = GT._pick_raster(
         cfg, args.width, args.height,
-        GT.resolve_budgets(cfg, state.gaussians, views_j,
-                           width=args.width, height=args.height))
+        GT.resolve_budgets(cfg, state.gaussians, all_views_j,
+                           width=args.width, height=args.height,
+                           slack=1.5))
 
     os.makedirs(args.out, exist_ok=True)
     rdir = os.path.join(args.out, "renders")
@@ -281,10 +289,21 @@ def main(argv=None):
     # (remote tunnel, ~0.4 s per new dispatch — CLAUDE.md); one compile each,
     # fast replays across frames/sides
     if state.gaussians.sem is not None:
-        render_fn = jax.jit(lambda gg, K, w2c: raster(
+        _render_jit = jax.jit(lambda gg, K, w2c: raster(
             gg, K, w2c, features=jax.nn.softmax(gg.sem, -1)))
     else:
-        render_fn = jax.jit(lambda gg, K, w2c: raster(gg, K, w2c))
+        _render_jit = jax.jit(lambda gg, K, w2c: raster(gg, K, w2c))
+    dropped_renders = []
+
+    def render_fn(gg, K, w2c, what="render"):
+        out = _render_jit(gg, K, w2c)
+        nd = int(out.n_dropped)
+        if nd:
+            dropped_renders.append({"view": what, "n_dropped": nd})
+            print(f"WARNING: {what}: {nd} pairs over the rasterizer budget "
+                  "were dropped (deepest-sorted tail) — re-run with a "
+                  "larger --max_pairs for exact output", flush=True)
+        return out
     transform_fn = jax.jit(G.apply_group_transforms)
 
     def view_gaussians(v):
@@ -296,7 +315,7 @@ def main(argv=None):
     psnrs, sem_accs = [], []
     for i, v in enumerate(hold_views or train_views[:4]):
         out = render_fn(view_gaussians(v), jnp.asarray(v["K"]),
-                        jnp.asarray(v["w2c"]))
+                        jnp.asarray(v["w2c"]), what=f"holdout {i}")
         img = np.asarray(out.color)
         media.save_image(os.path.join(rdir, f"nv_{i:04d}.png"),
                          (np.clip(img, 0, 1) * 255).astype(np.uint8))
@@ -325,7 +344,8 @@ def main(argv=None):
             vposes = virtual_poses(c2w, shift=args.shift, with_original=False)
             for side, vpose in zip(sides, vposes):
                 w2c_v = jnp.asarray(np.linalg.inv(vpose), jnp.float32)
-                out = render_fn(gv, jnp.asarray(v["K"]), w2c_v)
+                out = render_fn(gv, jnp.asarray(v["K"]), w2c_v,
+                                what=f"virtual {side} {i}")
                 img = (np.clip(np.asarray(out.color), 0, 1) * 255).astype(np.uint8)
                 media.save_image(os.path.join(
                     args.out, "virtual_renders", side, f"nv_{i:04d}.png"), img)
@@ -338,6 +358,7 @@ def main(argv=None):
         "n_gaussians_active": int(np.asarray(state.gaussians.active).sum()),
         "holdout_psnr_mean": float(np.mean(psnrs)) if psnrs else None,
         "holdout_semantic_acc": float(np.mean(sem_accs)) if sem_accs else None,
+        "dropped_renders": dropped_renders,  # nonempty = budget exceeded
         "history": history,
     }
     with open(os.path.join(args.out, "metrics.json"), "w") as f:

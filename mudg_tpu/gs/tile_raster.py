@@ -204,35 +204,53 @@ def _bucket(n: int, slack: float = 1.1) -> int:
     return (b + CK - 1) // CK * CK
 
 
+@functools.lru_cache(maxsize=64)
+def _count_fn(width: int, height: int, max_rows: int):
+    # one SHARED jitted count pass per (geometry, row budget): g/K/w2c ride
+    # as arguments so different views and growing scenes reuse the compile
+    # (jit re-specializes per N internally). The WHOLE pass — projection
+    # included — must run under one jit: eager project_gaussians
+    # materializes (N, 3, 3) intermediates that TPU tiling pads 57x
+    # (9.5 GB HBM OOM at N=5M, measured r4 q5).
+    @jax.jit
+    def fn(gg, K, w2c, obj_T, obj_vis):
+        if obj_T is not None:
+            from .gaussians import apply_group_transforms
+
+            gg = apply_group_transforms(gg, obj_T, obj_vis)
+        proj = project_gaussians(gg, K, w2c, width=width, height=height)
+        return count_pairs(proj, width=width, height=height,
+                           max_rows=max_rows)
+
+    return fn
+
+
 def auto_budgets(g, K, w2c, *, width: int, height: int,
                  slack: float = 1.1, start_rows: int = 1 << 18,
-                 bucket: bool = True):
+                 bucket: bool = True, obj_T=None, obj_vis=None):
     """Right-size (max_rows, max_pairs) for a scene+view by running the cheap
     count pass (host-level helper — call OUTSIDE jit; the returned ints are
-    static shapes for the jitted build). Each distinct bucket pays one
-    compile; re-counting a grown scene usually lands in the same bucket.
-    The reference's CUDA rasterizer sizes its key buffer exactly this way —
-    a prefix-sum over per-gaussian tile counts before allocation
-    (diff-gaussian-rasterization InclusiveSum; here the allocation must be
-    a static shape, hence buckets).
+    static shapes for the jitted build). The count executable is shared
+    across views/calls (g/K/w2c are jit arguments); each distinct
+    (shape, row-budget) pays one compile. The reference's CUDA rasterizer
+    sizes its key buffer exactly this way — a prefix-sum over per-gaussian
+    tile counts before allocation (diff-gaussian-rasterization
+    InclusiveSum; here the allocation must be a static shape, hence
+    buckets).
+
+    obj_T/obj_vis: per-view rigid group transforms (dynamic scenes) —
+    counting must see the gaussians where the raster will draw them, not
+    at their canonical poses.
 
     bucket=False: skip the {1,1.25,1.5,1.75}x2^k grid (up to 25% over-size)
     and return the exact slack-scaled count CK-ceiled — for one-off renders
     of a fixed scene+view, where a recompile per call is inherent anyway."""
-    def make(mr):
-        # the WHOLE pass — projection included — must run under one jit:
-        # eager project_gaussians materializes (N, 3, 3) intermediates that
-        # TPU tiling pads 57x (9.5 GB HBM OOM at N=5M, measured r4 q5)
-        @jax.jit
-        def fn(gg):
-            proj = project_gaussians(gg, K, w2c, width=width, height=height)
-            return count_pairs(proj, width=width, height=height, max_rows=mr)
-        return fn
-
-    rows, pairs = make(start_rows)(g)
+    rows, pairs = _count_fn(width, height, start_rows)(
+        g, K, w2c, obj_T, obj_vis)
     rows = int(rows)
     if rows > start_rows:  # row budget too small -> pair count was a floor
-        rows, pairs = make(_bucket(rows, slack))(g)
+        rows, pairs = _count_fn(width, height, _bucket(rows, slack))(
+            g, K, w2c, obj_T, obj_vis)
         rows = int(rows)
     if not bucket:
         ck_ceil = lambda n: (max(int(n * slack), 1024) + CK - 1) // CK * CK

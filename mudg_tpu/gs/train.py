@@ -215,8 +215,16 @@ def resolve_budgets(cfg: GSConfig, g: Gaussians, views, *, width: int,
                                 min(sample, len(views))).astype(int))
     mr = mp = 1024
     for i in idx:
-        r, p = auto_budgets(g, views[i]["K"], views[i]["w2c"],
-                            width=width, height=height, slack=slack)
+        v = views[i]
+        # dynamic scenes: count at the view's object poses, not canonical
+        # (an off-screen canonical box contributes ~0 pairs but can fill
+        # the frame once transformed)
+        ot = v.get("obj_T") if g.group is not None else None
+        r, p = auto_budgets(g, v["K"], v["w2c"],
+                            width=width, height=height, slack=slack,
+                            obj_T=ot,
+                            obj_vis=v.get("obj_vis") if ot is not None
+                            else None)
         mr, mp = max(mr, r), max(mp, p)
     return mr, mp
 

@@ -92,6 +92,9 @@ def main(steps=5, int8_which=None):
 
     # difference a second, shorter clip so the per-clip constants (VAE
     # decode, sampler prologue) drop out of the per-step cost exactly
+    if steps < 2:
+        raise SystemExit("--steps must be >= 2 for the differencing "
+                         "extrapolation (use --steps 5)")
     steps2 = max(steps - 3, 1)
     consts2 = ddim.make_ddim_constants(sched, steps2,
                                        timestep_spacing="uniform_trailing",
