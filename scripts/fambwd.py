@@ -26,19 +26,29 @@ from mudg_tpu.nn import unet3d as U
 from mudg_tpu.train import step as TS
 
 REMAT = True  # --remat=dots_attn etc. to ablate at the training default
+PRESET = "mdm512"
 for _a in sys.argv:
     if _a.startswith("--remat="):
         _v = _a.split("=", 1)[1]
         REMAT = True if _v == "True" else _v
+    if _a.startswith("--preset="):
+        PRESET = _a.split("=", 1)[1]
 
 
 def build():
-    cfg = M.MDMConfig()
+    if PRESET == "mdm1024":
+        from mudg_tpu.models import presets
+
+        cfg = presets.get("mdm1024")
+        hh, ww = 576, 1024
+    else:
+        cfg = M.MDMConfig()
+        hh, ww = 320, 512
     shapes = jax.eval_shape(lambda k: M.init_mdm(k, cfg), jax.random.PRNGKey(0))
     params = jax.tree.map(lambda s: jnp.full(s.shape, 0.01, jnp.bfloat16), shapes)
     trainable, frozen = TS.split_params(params)
 
-    bs, t, hh, ww = 1, 16, 320, 512
+    bs, t = 1, 16
     key = jax.random.PRNGKey(1)
     if "--latents" in sys.argv:
         # precomputed-moments batch (data/latents.py): the step skips the
