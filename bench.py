@@ -178,8 +178,13 @@ def main():
         try:
             from mudg_tpu import quant
 
-            unet_q = quant.quantize_pytree(unet)
-            log("compiling int8 variant")
+            # recommended MDM512 serving policy (docs/STATE.md round 4):
+            # conv_wide = W8A8 spatial convs + C>=1024 matmuls — measured
+            # 4.77 s/clip at 73.36 dB vs bf16. Blanket W8A8 ("all") measured
+            # 7.23 s/clip (a net LOSS: it forfeits the fused Pallas kernels)
+            # and stays available only via a dedicated MUDG_BENCH_INT8=all run.
+            unet_q = quant.quantize_pytree(unet, which="conv_wide")
+            log("compiling int8 variant (conv_wide)")
             out = clip_fn(unet_q, vae, c_concat, context, jax.random.PRNGKey(9))
             sync(out)
             t_i8 = []

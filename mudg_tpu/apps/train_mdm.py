@@ -28,21 +28,37 @@ def _log_samples(args, cfg, state, frozen, batch, tokenizer, step_i):
     from ..train.step import merge_params
     from ..utils import media
 
-    params = merge_params(jax.device_get(state.params), jax.device_get(frozen))
-    b = batch["sparse_frames"]
+    # sample under the EMA weights when available — the reference's
+    # ImageLogger runs log_images inside ema_scope (ddpm3d.py:741-788)
+    weights = state.params if state.ema_params is None else state.ema_params
+    params = merge_params(jax.device_get(weights), jax.device_get(frozen))
+    latents = "sparse_moments" in batch
+    b = batch["sparse_moments" if latents else "sparse_frames"]
     if b.ndim == 6:  # accum-shaped
         b = {k: np.asarray(v[0][:1]) for k, v in batch.items()}
     else:
         b = {k: np.asarray(v[:1]) for k, v in batch.items()}
+    if latents:
+        # --latents batches carry posterior moments, not pixel conditions:
+        # M.sample consumes them directly (posterior mode == rng-free encode)
+        conds = dict(
+            sparse_moments=jnp.asarray(b["sparse_moments"]),
+            depth_moments=jnp.asarray(b["depth_moments"]),
+            frame0=jnp.asarray(b["sparse_frame0"]),
+        )
+    else:
+        conds = dict(
+            sparse_frames=jnp.asarray(b["sparse_frames"]),
+            sparse_depth=jnp.asarray(b["sparse_depth"]),
+        )
     out = M.sample(
         params, cfg, jax.random.PRNGKey(step_i),
-        sparse_frames=jnp.asarray(b["sparse_frames"]),
-        sparse_depth=jnp.asarray(b["sparse_depth"]),
         tokens=jnp.asarray(b["tokens"]),
         null_tokens=jnp.asarray(tokenizer([""])[0]),
         class_label=jnp.asarray(b["class_label"]),
         num_steps=args.__dict__.get("sample_steps", 10),
         guidance_scale=7.5, guidance_rescale=0.7,
+        **conds,
     )
     sdir = os.path.join(args.out, "samples")
     os.makedirs(sdir, exist_ok=True)
@@ -109,8 +125,12 @@ def main(argv=None):
                         "(`python -m mudg_tpu precompute-latents` first): "
                         "removes the frozen VAE encode from the step — "
                         "~30%% of the MDM512 bs=1 step (docs/STATE.md r4). "
-                        "Incompatible with --sample_every (sampling needs "
-                        "pixel conditions)")
+                        "--sample_every works: sample logging decodes the "
+                        "cached posterior moments")
+    p.add_argument("--train_labels", default="color,semantic,depth",
+                   help="comma list of tasks to sample (the reference's "
+                        "train_label config list, waymo_data.py:342-362); "
+                        "e.g. --train_labels color for single-task runs")
     p.add_argument("--sp", type=int, default=1,
                    help="sequence-parallel degree: builds a 2D ('data', "
                         "'seq') mesh and shards the UNet ACTIVATIONS "
@@ -229,12 +249,10 @@ def main(argv=None):
         sp=sp_shard,
     )
 
-    if args.latents and args.sample_every:
-        raise SystemExit("--latents batches carry no pixel conditions; "
-                         "use --sample_every 0 or drop --latents")
+    labels = tuple(s for s in args.train_labels.split(",") if s)
     ds = WaymoDataset(args.items, video_length=args.video_length,
                       resolution=resolution, seed=args.seed,
-                      latents=args.latents)
+                      latents=args.latents, train_labels=labels)
     loader = BatchLoader(ds, args.batch_size, accum_steps=args.accum,
                          tokenizer=tokenizer, seed=args.seed)
 
@@ -243,7 +261,7 @@ def main(argv=None):
     if args.val_items:
         val_ds = WaymoDataset(args.val_items, video_length=args.video_length,
                               resolution=resolution, seed=args.seed + 1,
-                              latents=args.latents)
+                              latents=args.latents, train_labels=labels)
         val_loader = BatchLoader(
             val_ds, args.batch_size, accum_steps=1, tokenizer=tokenizer,
             shuffle=False,

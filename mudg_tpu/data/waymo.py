@@ -133,9 +133,18 @@ class WaymoDataset:
         res = self.resolution
 
         def zload(paths, kind):
-            return np.stack([
-                np.load(L.latent_path(p, res, kind)).astype(np.float32)
-                for p in paths])
+            def one(p):
+                lp = L.latent_path(p, res, kind)
+                try:
+                    return np.load(lp).astype(np.float32)
+                except FileNotFoundError:
+                    raise FileNotFoundError(
+                        f"latent cache missing for kind={kind!r} at "
+                        f"resolution {res[0]}x{res[1]}: {lp} — run "
+                        f"`python -m mudg_tpu precompute-latents` for this "
+                        f"scene/resolution first (or train without --latents)"
+                    ) from None
+            return np.stack([one(p) for p in paths])
 
         dense_color_paths = self._paths(sample, "dense_color_base")
         if task == "color":

@@ -197,7 +197,6 @@ def count_pairs(proj, *, width: int, height: int, max_rows: int):
 def _bucket(n: int, slack: float = 1.1) -> int:
     """Round n*slack up to {1, 1.25, 1.5, 1.75} x 2^k (max 25% over-size,
     4 compile buckets per octave), then to a CK multiple."""
-    import math
     t = max(int(n * slack), 1024)
     k = max(t.bit_length() - 3, 0)
     b = ((t >> k) + 1) << k if (t >> k) << k != t else t

@@ -309,7 +309,7 @@ def make_gs_train_step(cfg: GSConfig, *, width: int, height: int,
             step=state.step + 1,
             appearance=appearance,
         )
-        return new_state, {"loss": loss}
+        return new_state, {"loss": loss, "n_dropped": out.n_dropped}
 
     return step
 
@@ -453,6 +453,19 @@ def fit_scene(gaussians: Gaussians, views: list[dict], cfg: GSConfig,
             v.get("obj_T"), v.get("obj_vis"), v.get("sem_ids"),
             jnp.asarray(vi, jnp.int32),
         )
+        nd = int(metrics.get("n_dropped", 0))
+        if nd > 0:
+            # budgets were sized from sampled views of a past snapshot; an
+            # unsampled view or mid-interval growth can exceed them, which
+            # silently truncates pairs and biases gradients. Re-size now
+            # instead of waiting for the next densify boundary.
+            import sys
+            print(f"# gs.fit_scene step {i + 1}: {nd} pairs dropped on view "
+                  f"{vi} — re-resolving pair budgets", file=sys.stderr)
+            budgets = resolve_budgets(cfg, state.gaussians, views,
+                                      width=width, height=height)
+            step_fn = make_gs_train_step(cfg, width=width, height=height,
+                                         budgets=budgets)
         if cfg.opacity_reset_every and (i + 1) % cfg.opacity_reset_every == 0:
             state = reset_opacity(state, cfg)
         if (i + 1) % cfg.densify_every == 0:

@@ -319,11 +319,14 @@ def sample(
     cfg: MDMConfig,
     rng,
     *,
-    sparse_frames,
-    sparse_depth,
-    tokens,
-    null_tokens,
-    class_label,
+    sparse_frames=None,
+    sparse_depth=None,
+    sparse_moments=None,
+    depth_moments=None,
+    frame0=None,
+    tokens=None,
+    null_tokens=None,
+    class_label=None,
     num_steps: int = 50,
     guidance_scale: float = 7.5,
     cfg_img: float | None = None,
@@ -344,6 +347,14 @@ def sample(
     sparse_frames/sparse_depth: (B, T, H, W, 3) in [-1,1] (B = tasks batch);
     tokens: (B, 77); class_label: (B,). Returns decoded video (B, T, H, W, 3)
     in [-1,1] (or latents when decode=False).
+
+    Precomputed-latent form (net-new, pairs with data/latents.py): pass
+    sparse_moments/depth_moments (B, T, h, w, 2z) posterior moments plus
+    frame0 (B, H, W, 3) pixels for the CLIP image branch instead of
+    sparse_frames/sparse_depth — c_concat comes from the posterior MODE
+    (identical to encode_conditions with rng=None), skipping the frozen
+    VAE encode. This is what lets `train-mdm --latents --sample_every`
+    log samples without pixel conditions in the batch.
 
     All CFG condition variants are stacked on the batch axis: one UNet pass
     per DDIM step at batch n_variants*B.
@@ -371,24 +382,31 @@ def sample(
         consts = ddim.make_ddim_constants(
             sched, num_steps, timestep_spacing=timestep_spacing, eta=eta
         )
-    b, t_frames = sparse_frames.shape[:2]
+    use_moments = sparse_moments is not None
+    b, t_frames = (sparse_moments if use_moments else sparse_frames).shape[:2]
     fs_arr = jnp.full((b,), cfg.default_fs if fs is None else fs, jnp.int32)
 
     # conditions (shared by all CFG variants: c_concat is never dropped,
     # virtual_pose_render.py:100,108). Under sp the frozen VAE passes are
     # frame-sharded too (frames are independent through the 2D encoder), so
     # the encode/decode around the sampler scales with the mesh as well.
-    c_concat = encode_conditions(
-        params, cfg,
-        SP_frames(sparse_frames.astype(vdt), sp),
-        SP_frames(sparse_depth.astype(vdt), sp),
-    ).astype(dtype)
+    if use_moments:
+        m2 = jnp.concatenate(
+            [sparse_moments, depth_moments], axis=0).astype(jnp.float32)
+        sz, dz = jnp.split(V.sample_scaled(cfg.vae, m2, rng=None), 2, axis=0)
+        c_concat = jnp.concatenate([sz, dz], axis=-1).astype(dtype)
+    else:
+        c_concat = encode_conditions(
+            params, cfg,
+            SP_frames(sparse_frames.astype(vdt), sp),
+            SP_frames(sparse_depth.astype(vdt), sp),
+        ).astype(dtype)
 
     cond_emb = encode_text(params, cfg, tokens).astype(dtype)
     uc_emb = encode_text(
         params, cfg, jnp.broadcast_to(null_tokens, tokens.shape)
     ).astype(dtype)
-    img = sparse_frames[:, 0].astype(vdt)
+    img = (frame0 if use_moments else sparse_frames[:, 0]).astype(vdt)
     # cond + uncond image embeds in one stacked CLIP-tower/resampler pass
     both = embed_image(
         params, cfg, jnp.concatenate([img, jnp.zeros_like(img)], axis=0))

@@ -110,3 +110,29 @@ def scene(tmp_path_factory):
     return str(root)
 
 
+
+
+# ---------------------------------------------------------------------------
+# test tiers: e2e app tests that each cost ~1-2 min of REAL execution (orbax
+# IO, multi-step CLI invocations on the 1-core host) are marked slow and
+# skipped by default so the iteration suite stays fast. Full (release-gate)
+# run: `python -m pytest tests/ -q --slow`.
+# ---------------------------------------------------------------------------
+def pytest_addoption(parser):
+    parser.addoption(
+        "--slow", action="store_true", default=False,
+        help="also run tests marked slow (full release-gate suite)")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: e2e app test skipped unless --slow is given")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--slow") or os.environ.get("MUDG_SLOW") == "1":
+        return
+    skip = pytest.mark.skip(reason="slow e2e tier — run with --slow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

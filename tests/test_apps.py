@@ -120,6 +120,7 @@ def test_render_infer_seq_parallel(scene, tmp_path):
             os.path.join(out_dir, f"virtual_{task}", f"{task}_re_0.png"))
 
 
+@pytest.mark.slow
 def test_serve_spool_daemon(scene, tmp_path):
     """apps/serve: two spooled requests processed by ONE warm sampler —
     outputs written per request, .done markers with metrics, a malformed
@@ -178,6 +179,7 @@ def test_serve_spool_daemon(scene, tmp_path):
     assert not list(spool.glob("*.json")) and not list(spool.glob("*.active"))
 
 
+@pytest.mark.slow
 def test_train_mdm_end_to_end(scene, tmp_path):
     """Train app: tiny preset, 3 steps on the synthetic scene, metrics JSONL
     and an orbax checkpoint written."""
@@ -259,6 +261,7 @@ def test_refine_gs_end_to_end(scene, tmp_path):
     assert hist[-1]["loss"] <= hist[0]["loss"] * 1.2
 
 
+@pytest.mark.slow
 def test_train_mdm_auto_resume(scene, tmp_path, capsys):
     """--auto_resume restores the latest checkpoint and continues the step
     counter; with --full_ckpt_every the FULL train state (params + Adam
@@ -301,6 +304,7 @@ def test_train_mdm_auto_resume(scene, tmp_path, capsys):
     assert os.path.isdir(os.path.join(out_dir, "trainstate_4"))
 
 
+@pytest.mark.slow
 def test_train_mdm_tp_fsdp(scene, tmp_path):
     """--tp 2 --fsdp: the train app runs on a 2D (4, 2) ('data', 'model')
     mesh with Megatron-sharded attention/FF weights composed with FSDP over
@@ -336,6 +340,7 @@ def test_train_mdm_tp_fsdp(scene, tmp_path):
     assert os.path.isdir(os.path.join(out_dir, "step_2"))
 
 
+@pytest.mark.slow
 def test_train_mdm_sp_fsdp(scene, tmp_path):
     """--sp 2 --fsdp: the train app runs on a 2D (2, 2) ('data', 'seq') mesh
     with sequence-parallel UNet activations (parallel/sp.py explicit
@@ -417,6 +422,7 @@ def test_render_infer_task_serial_matches_batched(scene, tmp_path):
     assert 0 <= b.min() and b.max() <= 100
 
 
+@pytest.mark.slow
 def test_virtual_pose_render_end_to_end(scene, tmp_path):
     """The paper's headline capability as one flow: render virtual-pose
     conditions (+/-2 m shifts), emit the virtual item list

@@ -98,7 +98,9 @@ def test_precompute_matches_on_the_fly(scene, tmp_path):
 
 def test_train_app_latents_end_to_end(scene, tmp_path):
     """precompute-latents CLI -> train-mdm --latents: 2 finite steps from
-    moment caches only (the training step never runs the VAE encoder)."""
+    moment caches only (the training step never runs the VAE encoder), with
+    --sample_every exercising the moments path of sample logging (cached
+    posterior moments decoded in place of pixel conditions)."""
     from mudg_tpu.apps import precompute_latents, train_mdm
 
     items_path = _items_for(scene, tmp_path, n=6)
@@ -112,7 +114,9 @@ def test_train_app_latents_end_to_end(scene, tmp_path):
         "--height", "32", "--width", "64", "--video_length", "4",
         "--batch_size", "2", "--accum", "1", "--max_steps", "2",
         "--ckpt_every", "2", "--log_every", "1", "--latents",
+        "--sample_every", "2",
     ])
     import json
     lines = [json.loads(l) for l in open(os.path.join(out_dir, "metrics.jsonl"))]
     assert any("loss" in l and np.isfinite(l["loss"]) for l in lines)
+    assert os.path.exists(os.path.join(out_dir, "samples", "step_2.mp4"))

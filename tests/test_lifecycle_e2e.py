@@ -23,6 +23,7 @@ cv2 = pytest.importorskip("cv2")
 from test_waymo_proto import build_frame, write_tfrecord  # noqa: E402
 
 
+@pytest.mark.slow
 def test_lifecycle_tfrecord_to_trained_render(tmp_path, monkeypatch):
     from mudg_tpu.apps import build_clouds, render_infer, segment, train_mdm
     from mudg_tpu.apps.make_conditions import render_scene_conditions

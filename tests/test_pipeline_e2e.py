@@ -20,6 +20,7 @@ import pytest
 cv2 = pytest.importorskip("cv2")
 
 
+@pytest.mark.slow
 def test_full_pipeline(scene, tmp_path):
     from mudg_tpu.apps.make_conditions import render_scene_conditions
     from mudg_tpu.data.waymo import write_items
