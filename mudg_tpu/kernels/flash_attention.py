@@ -242,6 +242,136 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
+def _bwd_dq_kernel_chunked(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                           dq_ref, *, scale):
+    """Long-L variant: the kv loop is a grid dim, dq accumulates f32 into its
+    revisited output block (the kernels/mlp.py _ff_bwd_kernel pattern). The
+    whole-L kernels hold full-sequence k/v and (L, 1) lse/delta blocks whose
+    1->128 lane padding alone is ~19 MB f32 at MDM1024's L=9216 — the
+    scoped-vmem OOM that blocked stage-2 single-chip training (round 5)."""
+    jj = pl.program_id(2)
+
+    @pl.when(jj == 0)
+    def _init():
+        dq_ref[...] = jnp.zeros_like(dq_ref[...])
+
+    q = q_ref[0]
+    do = do_ref[0]
+    lse2 = lse_ref[0] * LOG2E
+    delta = delta_ref[0]
+    qs = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
+    k = k_ref[0]
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        qs, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    p = jnp.exp2(s - lse2)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    ds = (p * (dp - delta)).astype(q.dtype)
+    dq_ref[0] = dq_ref[0] + scale * jax.lax.dot(
+        ds, k, preferred_element_type=jnp.float32)
+
+
+def _bwd_dkv_kernel_chunked(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                            dk_ref, dv_ref, *, scale):
+    """Long-L variant of _bwd_dkv_kernel: q streams as a grid dim, dk/dv
+    accumulate f32 into revisited output blocks (see _bwd_dq_kernel_chunked)."""
+    i = pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_ref[...] = jnp.zeros_like(dk_ref[...])
+        dv_ref[...] = jnp.zeros_like(dv_ref[...])
+
+    k = k_ref[0]
+    v = v_ref[0]
+    q = q_ref[0]
+    do = do_ref[0]
+    lse2 = lse_ref[0] * LOG2E
+    delta = delta_ref[0]
+    qs = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
+    s = jax.lax.dot_general(
+        qs, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    p = jnp.exp2(s - lse2)
+    pb = p.astype(do.dtype)
+    dv_ref[0] = dv_ref[0] + jax.lax.dot_general(
+        pb, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    ds = (p * (dp - delta)).astype(q.dtype)
+    dk_ref[0] = dk_ref[0] + scale * jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+
+def _flash_bwd_chunked(q, k, v, lse, delta, do, bq, bk):
+    """Both bwd kernels with the long sequence streamed on a third grid dim.
+    Outputs accumulate in f32 (grid-step accumulation in bf16 would lose
+    low bits); cast back outside. Enables training at L=9216 (MDM1024)."""
+    bh, lq, d = q.shape
+    lk = k.shape[1]
+    scale = d**-0.5
+    f32 = jnp.float32
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel_chunked, scale=scale),
+        grid=(bh, lq // bq, lk // bk),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 1), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 1), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(q.shape, f32),
+        interpret=_interpret(),
+    )(q, k, v, do, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel_chunked, scale=scale),
+        grid=(bh, lk // bk, lq // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda b, j, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, d), lambda b, j, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 1), lambda b, j, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 1), lambda b, j, i: (b, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, bk, d), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(k.shape, f32),
+            jax.ShapeDtypeStruct(k.shape, f32),
+        ),
+        interpret=_interpret(),
+    )(q, k, v, do, lse, delta)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+def _bwd_whole_fits(lq, lk, d, bq, bk) -> bool:
+    """Scoped-vmem estimate for the whole-L dq/dkv kernels (double-buffered
+    blocks; d and the trailing 1 of lse/delta pad to 128 lanes)."""
+    dp = -(-d // 128) * 128
+    est_dq = (2 * lk * dp * 2 * 2        # k, v whole-L, bf16, 2x buffers
+              + 3 * bq * dp * 2 * 2      # q, do, dq blocks
+              + 2 * bq * 128 * 4 * 2     # lse, delta (lane-padded 1 -> 128)
+              + 4 * bq * bk * 4)         # s/p/dp/ds stack temporaries
+    est_dkv = (2 * lq * dp * 2 * 2       # q, do whole-L
+               + 2 * lq * 128 * 4 * 2    # lse, delta whole-L
+               + 4 * bk * dp * 4 * 2     # k, v, dk, dv blocks
+               + 4 * bq * bk * 4)
+    # 14.5 MB working budget against the 16 MB scoped-vmem limit (docs/
+    # STATE.md round-2 session 4); calibrated so the known-good whole-L
+    # MDM512 shape (lq=2560, est 14.2 MB, measured fine for three rounds)
+    # stays on the measured path and MDM1024's lq=9216 (est 34.6 MB,
+    # observed 28 MB compile OOM) routes to the chunked kernels
+    return max(est_dq, est_dkv) < int(14.5 * 2**20)
+
+
 def _flash_bwd(q, k, v, o, lse, do):
     bh, lq, d = q.shape
     lk = k.shape[1]
@@ -257,6 +387,11 @@ def _flash_bwd(q, k, v, o, lse, do):
     delta = jnp.sum(
         o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1, keepdims=True
     )  # (BH, L, 1)
+
+    if bq and bk and not _bwd_whole_fits(lq, lk, d, bq, bk):
+        # long sequences (MDM1024 L=9216): whole-L operand blocks overflow
+        # the 16 MB scoped-vmem budget -> stream the long dim on the grid
+        return _flash_bwd_chunked(q, k, v, lse, delta, do, bq, bk)
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=scale, block_k=bk, seq_k=lk),

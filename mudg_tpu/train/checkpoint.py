@@ -171,7 +171,11 @@ def normalize_state_dict(raw) -> dict[str, np.ndarray]:
     (virtual_pose_render.py:26-51)."""
     if "state_dict" in raw:
         sd = dict(raw["state_dict"])
-        if "framestride_embed.0.weight" in sd:
+        # substring rename like the reference (virtual_pose_render.py:39-40):
+        # the legacy key is PREFIXED (model.diffusion_model.framestride_...),
+        # so an exact-key gate would never fire on a real checkpoint — a bug
+        # the round-5 weight-day drill caught
+        if any("framestride_embed" in k for k in sd):
             sd = {
                 k.replace("framestride_embed", "fps_embedding"): v
                 for k, v in sd.items()

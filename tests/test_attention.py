@@ -71,6 +71,34 @@ def test_flash_grads_match_dense():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+def test_flash_bwd_chunked_matches_whole():
+    """The long-L grid-streamed bwd kernels (_flash_bwd_chunked — stage-2
+    L=9216 training, where whole-L lse/delta blocks scoped-vmem OOM) must
+    match the whole-L kernels and the dense reference exactly (same math,
+    f32 grid accumulation)."""
+    from mudg_tpu.kernels import flash_attention as FA
+
+    rng = jax.random.PRNGKey(11)
+    ks = jax.random.split(rng, 4)
+    bh, lq, d = 3, 256, 64
+    q = jax.random.normal(ks[0], (bh, lq, d), jnp.float32)
+    k = jax.random.normal(ks[1], (bh, lq, d), jnp.float32)
+    v = jax.random.normal(ks[2], (bh, lq, d), jnp.float32)
+    do = jax.random.normal(ks[3], (bh, lq, d), jnp.float32)
+    o, lse = FA._flash_fwd(q, k, v)
+    delta = jnp.sum(o * do, axis=-1, keepdims=True)
+
+    ref = FA._flash_bwd(q, k, v, o, lse, do)
+    got = FA._flash_bwd_chunked(q, k, v, lse, delta, do, bq=64, bk=128)
+    for a, b in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=1e-4)
+    # the gate itself: MDM1024's training shape must route to the chunked
+    # path, MDM512's must keep the measured whole-L kernels
+    assert not FA._bwd_whole_fits(9216, 9216, 64, 512, 512)
+    assert FA._bwd_whole_fits(2560, 2560, 64, 512, 512)
+
+
 def test_flash_grads_under_dots_attn_remat():
     """remat='dots_attn' saves the flash kernel's tagged (o, lse); the
     backward replay substitutes them (forward kernel DCE'd) and the FA-2

@@ -325,3 +325,112 @@ def test_state_dict_roundtrip():
     assert set(back) == set(sd)
     for k in sd:
         np.testing.assert_array_equal(back[k], sd[k], err_msg=k)
+
+
+# ---------------------------------------------------------------------------
+# Weight-day drill: fabricated Lightning/deepspeed .ckpt -> full import ->
+# sample (VERDICT r4 item 8) — so real published weights are a one-liner.
+# ---------------------------------------------------------------------------
+
+def test_weight_day_drill(tmp_path):
+    """Fabricate a reference-layout .ckpt from tiny-config params (state_dict
+    with first/cond-stage towers under their real prefixes, framestride_embed
+    legacy naming, 8-channel conv_in, a non-contiguous tensor) plus the
+    deepspeed 'module' variant, then drive load_mudg_checkpoint ->
+    surgery -> M.sample end-to-end exactly as apps/train_mdm.py:170-182 /
+    render_infer do."""
+    from mudg_tpu.models import mdm as M
+    from mudg_tpu.models import presets
+
+    cfg = presets.get("tiny")
+    params = M.init_mdm(jax.random.PRNGKey(0), cfg)
+
+    # export with the real sub-model prefixes (ddpm3d.py:86,529-530,1037-41)
+    sd = {}
+    sd.update(C.pytree_to_state_dict(params["unet"],
+                                     prefix="model.diffusion_model."))
+    sd.update(C.pytree_to_state_dict(params["vae"],
+                                     prefix="first_stage_model."))
+    sd.update(C.pytree_to_state_dict(params["image_proj"],
+                                     prefix="image_proj_model."))
+    sd.update(C.pytree_to_state_dict(params["clip_text"],
+                                     prefix="cond_stage_model.model."))
+    sd.update(C.pytree_to_state_dict(params["clip_image"],
+                                     prefix="embedder.model.visual."))
+
+    # published DynamiCrafter ckpts predate the class_embed (cloned at import,
+    # utils_train.py:174-182) and carry an 8-channel conv_in + the
+    # framestride_embed legacy key naming
+    for suffix in ("0.weight", "0.bias", "2.weight", "2.bias"):
+        del sd[f"model.diffusion_model.class_embed.{suffix}"]
+    sd = {k.replace(".fps_embedding.", ".framestride_embed."): v
+          for k, v in sd.items()}
+    ck = "model.diffusion_model.input_blocks.0.0.weight"
+    w12 = sd[ck]                     # torch layout (out, 12, 3, 3)
+    sd[ck] = (w12[:, :8] * 2.0).copy()
+
+    tsd = {k: torch.tensor(np.asarray(v)) for k, v in sd.items()}
+    # a non-contiguous tensor (torch 2.13 serializes numpy strides — the
+    # reader must rebuild via as_strided, round-2 bug class)
+    nk = "model.diffusion_model.time_embed.0.weight"
+    tsd[nk] = torch.tensor(np.asarray(sd[nk]).T.copy()).t()
+    assert not tsd[nk].is_contiguous()
+
+    lightning = str(tmp_path / "mudg.ckpt")
+    torch.save({"state_dict": tsd, "epoch": 3, "global_step": 1000},
+               lightning)
+    dspath = str(tmp_path / "mudg_ds.ckpt")
+    torch.save({"module": {
+        "_forward_module." + k.replace(".framestride_embed.",
+                                       ".fps_embedding."): v
+        for k, v in tsd.items()}}, dspath)
+
+    trees = C.load_mudg_checkpoint(lightning, expand_conv_in=True,
+                                   add_class_embed=True)
+    imported = {
+        "unet": trees["unet"],
+        "vae": trees["vae"],
+        "image_proj": trees["image_proj"],
+        "clip_text": trees["clip_text"].get("model", trees["clip_text"]),
+        "clip_image": trees["clip_image"].get("model", {}).get(
+            "visual", trees["clip_image"]),
+    }
+
+    # structure must match init exactly (what jit/sharding placement needs)
+    assert (jax.tree.structure(jax.tree.map(lambda x: 0, imported))
+            == jax.tree.structure(jax.tree.map(lambda x: 0, params)))
+    # non-contiguous leaf round-trips exactly
+    np.testing.assert_array_equal(
+        imported["unet"]["time_embed"]["0"]["weight"],
+        np.asarray(params["unet"]["time_embed"]["0"]["weight"]))
+    # conv_in surgery math, checked independently in torch layout
+    got = C.pytree_to_state_dict(
+        {"x": {"weight": imported["unet"]["input_blocks"]["0"]["0"]
+               ["weight"]}})["x.weight"]
+    w8 = np.asarray(sd[ck])
+    np.testing.assert_allclose(got[:, :8], w8 * 0.5, rtol=1e-6)
+    np.testing.assert_allclose(got[:, 8:12], w8[:, 4:8] * 0.5, rtol=1e-6)
+    # class_embed == time_embed clone
+    np.testing.assert_array_equal(
+        imported["unet"]["class_embed"]["0"]["weight"],
+        imported["unet"]["time_embed"]["0"]["weight"])
+
+    # deepspeed layout import lands on the identical trees
+    trees_ds = C.load_mudg_checkpoint(dspath, expand_conv_in=True,
+                                      add_class_embed=True)
+    for a, b in zip(jax.tree.leaves(trees["unet"]),
+                    jax.tree.leaves(trees_ds["unet"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # end-to-end: sample from the imported weights (render_infer's path)
+    imported = jax.tree.map(jnp.asarray, imported)
+    out = jax.jit(lambda p: M.sample(
+        p, cfg, jax.random.PRNGKey(1),
+        sparse_frames=jnp.zeros((1, 4, 32, 64, 3)),
+        sparse_depth=jnp.zeros((1, 4, 32, 64, 3)),
+        tokens=jnp.zeros((1, 77), jnp.int32),
+        null_tokens=jnp.zeros((77,), jnp.int32),
+        class_label=jnp.zeros((1,), jnp.int32),
+        num_steps=2))(imported)
+    assert out.shape == (1, 4, 32, 64, 3)
+    assert bool(jnp.all(jnp.isfinite(out)))
