@@ -131,12 +131,16 @@ def _kernel_pack(g, nfeat=NFEAT):
     return out
 
 
-def _expand(span, max_slots):
+def _expand2(span, max_slots):
     """Ragged expansion: item i owns span[i] consecutive slots. Returns
-    (owner (max_slots,) i32, local (max_slots,) i32, valid, total). Owner is
-    recovered by scatter-at-starts + cummax (a searchsorted here costs
+    (owner (max_slots,) i32, slot, starts (n_items,), valid, total). Owner
+    is recovered by scatter-at-starts + cummax (a searchsorted here costs
     ~570 ms at 4M slots on v5e — XLA lowers it to a per-iteration gather
-    binary search)."""
+    binary search). The caller computes local = slot - starts[owner]; on
+    TPU each multi-million-element gather is issue-bound (~11 ns/elem,
+    130 ms at 12M — scripts/gsexpand_probe.py round 5), so callers fold
+    the starts column into their one packed per-item row gather instead
+    of paying a dedicated gather here."""
     offsets = jnp.cumsum(span)                       # inclusive
     total = offsets[-1]
     starts = offsets - span                          # exclusive starts
@@ -147,25 +151,47 @@ def _expand(span, max_slots):
                         starts, max_slots)           # OOB drops
     mark = mark.at[scat_at].max(src_ids, mode="drop")
     owner = jnp.maximum(jax.lax.cummax(mark), 0)
-    local = slot - starts[owner]
-    return owner, local, slot < total, total
+    return owner, slot, starts, slot < total, total
 
 
-def _enumerate_rows(proj, *, tw: int, th: int, max_rows: int):
+def _expand(span, max_slots):
+    """Compatibility form of _expand2 (pays the starts[owner] gather)."""
+    owner, slot, starts, valid, total = _expand2(span, max_slots)
+    return owner, slot - starts[owner], valid, total
+
+
+def _enumerate_rows(proj, *, tw: int, th: int, max_rows: int, extras=None):
     """Shared enumeration prefix (gaussian -> ellipse tile rows -> per-row
-    exact tile x-span). Returns (rg, ty, tx0, span_x, total_rows) where
-    span_x[i] is the EXACT number of tiles row i's ellipse slice touches."""
+    exact tile x-span). Returns (rg, ty, tx0, span_x, total_rows, ex) where
+    span_x[i] is the EXACT number of tiles row i's ellipse slice touches.
+
+    extras: optional (N, E) per-gaussian i32 columns to carry to the rows;
+    they ride the ONE packed row gather (bitcast into the f32 table) and
+    come back as ex (max_rows, E) i32. TPU gathers at these sizes are
+    issue-bound (~130 ms per 12M elements regardless of width, round-5
+    gsexpand_probe), so every per-gaussian column must share a single
+    gather — this phase used to pay three (y0, starts, ctab)."""
     # level 1: gaussian -> tile rows over the cutoff ellipse's y-extent
     y0 = jnp.clip(jnp.floor((proj.means2d[:, 1] - proj.extents[:, 1]) / TILE), 0, th - 1).astype(jnp.int32)
     y1 = jnp.clip(jnp.floor((proj.means2d[:, 1] + proj.extents[:, 1]) / TILE), 0, th - 1).astype(jnp.int32)
     row_span = jnp.where(proj.visible, y1 - y0 + 1, 0)
-    rg, rlocal, row_valid, total_rows = _expand(row_span, max_rows)
-    ty = y0[rg] + rlocal
+    rg, slot, rstarts, row_valid, total_rows = _expand2(row_span, max_rows)
+
+    # ONE packed row gather: ellipse coefficients + y0 + row start (+extras)
+    n_ex = 0 if extras is None else extras.shape[1]
+    icols = [y0[:, None], rstarts[:, None]]
+    if extras is not None:
+        icols.append(extras)
+    ctab = jnp.concatenate(
+        [proj.means2d, proj.conics, proj.qmax[:, None],
+         jax.lax.bitcast_convert_type(
+             jnp.concatenate(icols, axis=1), jnp.float32)], axis=1)
+    cf = ctab[rg]
+    iview = jax.lax.bitcast_convert_type(cf[:, 6:], jnp.int32)
+    ty = iview[:, 0] + (slot - iview[:, 1])
+    ex = iview[:, 2:2 + n_ex] if n_ex else None
 
     # exact x-interval of the ellipse within this row's pixel-center band
-    ctab = jnp.concatenate(
-        [proj.means2d, proj.conics, proj.qmax[:, None]], axis=1)
-    cf = ctab[rg]
     mux, muy = cf[:, 0], cf[:, 1]
     ry = ty.astype(jnp.float32) * TILE
     lo, hi, nonempty = ellipse_row_xrange(
@@ -178,7 +204,7 @@ def _enumerate_rows(proj, *, tw: int, th: int, max_rows: int):
     tx0 = jnp.maximum(tx0, 0)
     tx1 = jnp.minimum(tx1, tw - 1)
     span_x = jnp.where(row_valid & nonempty & (tx1 >= tx0), tx1 - tx0 + 1, 0)
-    return rg, ty, tx0, span_x, total_rows
+    return rg, ty, tx0, span_x, total_rows, ex
 
 
 def count_pairs(proj, *, width: int, height: int, max_rows: int):
@@ -189,7 +215,7 @@ def count_pairs(proj, *, width: int, height: int, max_rows: int):
     pairs. If total_rows > max_rows the pair count is a lower bound — bump
     the row bucket and re-count (see auto_budgets)."""
     tw, th = _tile_grid(width, height)
-    _, _, _, span_x, total_rows = _enumerate_rows(
+    _, _, _, span_x, total_rows, _ = _enumerate_rows(
         proj, tw=tw, th=th, max_rows=max_rows)
     return total_rows, jnp.sum(span_x)  # i32: pairs < 2^31 by construction
 
@@ -277,13 +303,39 @@ def build_pairs(proj, colors, *, width: int, height: int, max_pairs: int,
     n_tiles = tw * th
     max_rows = max_rows or max(max_pairs // 2, 1024)
 
-    rg, ty, tx0, span_x, total_rows = _enumerate_rows(
-        proj, tw=tw, th=th, max_rows=max_rows)
+    # depth quantization PER GAUSSIAN (it only depends on the gaussian), so
+    # dq and the f32 depth ride the packed level-1 gather instead of paying
+    # dedicated 12M-element gathers per pair (issue-bound at ~130 ms each,
+    # round-5 gsexpand_probe — this phase used to do five).
+    db = 31 - int(n_tiles + 1).bit_length()
+    packed_sort = db >= 14 and os.environ.get("MUDG_GS_SORT",
+                                              "packed") != "lex"
+    if packed_sort:
+        dmin = jnp.min(jnp.where(proj.visible, proj.depths, jnp.inf))
+        dmax = jnp.max(jnp.where(proj.visible, proj.depths, -jnp.inf))
+        qscale = ((1 << db) - 1) / jnp.maximum(dmax - dmin, 1e-12)
+        # clamp in INT space: (1<<db)-1 is not f32-representable for db>24,
+        # so a float-space clip rounds up to 1<<db and the top depth bit
+        # would bleed into the tile id
+        dq_g = jnp.clip(
+            jnp.clip((proj.depths - dmin) * qscale, 0, None
+                     ).astype(jnp.int32),
+            0, (1 << db) - 1)
+    else:
+        dq_g = jax.lax.bitcast_convert_type(proj.depths, jnp.int32)
 
-    # level 2: row -> pairs
-    rr, plocal, valid, total = _expand(span_x, max_pairs)
-    gi = rg[rr]
-    tile_id = jnp.where(valid, ty[rr] * tw + tx0[rr] + plocal, n_tiles)
+    rg, ty, tx0, span_x, total_rows, ex = _enumerate_rows(
+        proj, tw=tw, th=th, max_rows=max_rows, extras=dq_g[:, None])
+    dq_row = ex[:, 0]
+
+    # level 2: row -> pairs. ONE packed row gather carries every per-row
+    # column (gaussian id, ty, tx0, dq, pair start) to the pair slots.
+    rr, slot2, starts2, valid, total = _expand2(span_x, max_pairs)
+    rtab = jnp.stack([rg, ty, tx0, dq_row, starts2], axis=1)
+    rt = rtab[rr]
+    gi = rt[:, 0]
+    plocal = slot2 - rt[:, 4]
+    tile_id = jnp.where(valid, rt[:, 1] * tw + rt[:, 2] + plocal, n_tiles)
     n_dropped = (jnp.maximum(total - max_pairs, 0)
                  + jnp.maximum(total_rows - max_rows, 0))
 
@@ -298,28 +350,17 @@ def build_pairs(proj, colors, *, width: int, height: int, max_pairs: int,
     # range/2^db (db >= 14 -> sub-cm at city scale) and only reorder the
     # alpha compositing of near-coincident splats; payload depths stay
     # exact f32. Falls back to the lexicographic sort if the tile count
-    # ever leaves fewer than 14 depth bits.
-    depth = proj.depths[gi]
-    db = 31 - int(n_tiles + 1).bit_length()
-    # MUDG_GS_SORT=lex keeps the exact lexicographic (tile, f32 depth) sort —
-    # the A/B lever for the packed-key variant (and the lossless option if a
-    # scene ever exposes db-bit depth-quantization ordering artifacts)
-    if db >= 14 and os.environ.get("MUDG_GS_SORT", "packed") != "lex":
-        dmin = jnp.min(jnp.where(proj.visible, proj.depths, jnp.inf))
-        dmax = jnp.max(jnp.where(proj.visible, proj.depths, -jnp.inf))
-        qscale = ((1 << db) - 1) / jnp.maximum(dmax - dmin, 1e-12)
-        # clamp in INT space: (1<<db)-1 is not f32-representable for db>24,
-        # so a float-space clip rounds up to 1<<db and the top depth bit
-        # would bleed into the tile id
-        dq = jnp.clip(
-            jnp.clip((depth - dmin) * qscale, 0, None).astype(jnp.int32),
-            0, (1 << db) - 1)
-        key = (tile_id << db) | dq
+    # ever leaves fewer than 14 depth bits (MUDG_GS_SORT=lex forces it —
+    # the A/B lever, and the lossless option if a scene ever exposes
+    # db-bit depth-quantization ordering artifacts).
+    if packed_sort:
+        key = (tile_id << db) | rt[:, 3]
         key_s, gi_s = jax.lax.sort((key, gi), num_keys=1)
         bounds = jnp.searchsorted(
             key_s, jnp.arange(n_tiles + 1, dtype=jnp.int32) << db
         ).astype(jnp.int32)
     else:  # lex fallback (>131k tiles, or MUDG_GS_SORT=lex)
+        depth = jax.lax.bitcast_convert_type(rt[:, 3], jnp.float32)
         tile_s, _, gi_s = jax.lax.sort((tile_id, depth, gi), num_keys=2)
         bounds = jnp.searchsorted(
             tile_s, jnp.arange(n_tiles + 1, dtype=jnp.int32)
@@ -340,7 +381,11 @@ def build_pairs(proj, colors, *, width: int, height: int, max_pairs: int,
     tmark = tmark.at[jnp.where(pcounts > 0, pbounds[:-1], p_pad)].max(
         tile_ids, mode="drop")
     t_of = jax.lax.cummax(tmark)
-    off = slot_pad - pbounds[t_of]
+    # ONE packed per-tile row gather (was three issue-bound 12M gathers:
+    # pbounds[t_of], bounds[t_of], counts[t_of])
+    btab = jnp.stack([pbounds[:-1], bounds[:-1], counts], axis=1)
+    bt = btab[t_of]
+    off = slot_pad - bt[:, 0]
     n_extra = 0 if extras is None else extras.shape[-1]
     npay, nfeat = _npay_nfeat(n_extra)
     ppr = 128 // nfeat
@@ -349,8 +394,8 @@ def build_pairs(proj, colors, *, width: int, height: int, max_pairs: int,
     # 128-pair chunk fetches the pair of depth rank _chunk_rank(co)
     co = off % CK
     offp = off - co + _chunk_rank(co, ppr)
-    src = jnp.clip(bounds[t_of] + offp, 0, max_pairs - 1)
-    keep = offp < counts[t_of]
+    src = jnp.clip(bt[:, 1] + offp, 0, max_pairs - 1)
+    keep = offp < bt[:, 2]
     gp = jnp.where(keep, gi_s[src], 0)
 
     # one row-gather from a small per-gaussian feature table

@@ -164,12 +164,17 @@ def _ff_apply(x, w1, b1, w2, b2):
     # /tmp sweep 2026-08-16); bm=2048 fails compile. At C=1280, bm>=512 /
     # s>512 overflow the 16M scoped-VMEM limit once Mosaic double-buffers the
     # weight blocks (measured: 18.4M at bm=512, 16.25M at bm=256/s=640);
-    # bm=256 + s<=512 stays comfortably under.
+    # bm=256 + s<=512 stays comfortably under. C=640 must stay at bm<=512:
+    # its bm=1024 kernel (s=640) compiles standalone but hits 16.93M scoped
+    # vmem when REPLAYED inside the MDM1024 full-remat backward (round-5 q3
+    # — Mosaic charges context overhead the standalone compile doesn't).
     bm = 1024
     if c >= 1024:
         bm = 256
         while s > 512 or inner % s:
             s //= 2
+    elif c >= 640:
+        bm = 512
     n_ic = inner // s
     while m % bm:
         bm //= 2
@@ -395,7 +400,16 @@ def _pick_block_sizes_bwd(m: int, c: int, inner: int):
                    + 3 * c * s * 4 * 2     # dw1v/dw1g/dw2 out blocks, db
                    + 3 * bm * c * 2 * 2    # x/dy/dx blocks, db
                    + bm * c * 4)           # acc scratch
-            if est < 13 * 2**20:
+            # c == 640 runs against a tighter effective budget: its
+            # (s=256, bm=256) pick (est 10.1M) measured 16.93M actual
+            # scoped vmem inside the MDM1024 rematted backward (round-5
+            # q1; the round-3 "16.73M spatial stub" was the same
+            # instance) — context overhead the model misses, and
+            # graph-dependent: the IDENTICAL kernel config compiled fine
+            # in MDM512 training (round-2 session-5 ffbwd_ab). 8M forces
+            # s=128/bm=256 (est 6.4M) for that width; the measured-good
+            # c=320/c=1280 configs keep the calibrated 13M budget.
+            if est < (8 if c == 640 else 13) * 2**20:
                 return s, bm
     return 0, 0
 

@@ -502,11 +502,12 @@ def flashblock_eligible(x, c, heads) -> bool:
     )
 
 
-def _fb_impl(x, p_norm, p_attn, *, heads):
+def _fb_impl(x, p_norm, p_attn, *, heads, bq=None, bkv=None):
     from ..nn import functional as F
 
     b, l, c = x.shape
-    bq, bkv = _fb_pick(l, c, heads)
+    if bq is None or bkv is None:
+        bq, bkv = _fb_pick(l, c, heads)
     wq, wk, wv, wo, bo = _prep(p_attn, c, heads)
     lnw32 = p_norm["weight"].astype(jnp.float32).reshape(1, c)
     lnb32 = p_norm["bias"].astype(jnp.float32).reshape(1, c)

@@ -85,7 +85,22 @@ def timed(cfg, trainable, frozen, batch, sched_arrays, null_tokens):
         lambda fz, toks: M.encode_text(fz, cfg, toks[None])
     )(frozen, null_tokens)
 
+    # --freeze: the stage-2 recipe (configs/stage2-1024 config.yaml:65 —
+    # temporal transformers frozen). Grads for masked leaves are cut at
+    # trace time (stop_gradient), so their wgrad work disappears from the
+    # backward, exactly like the app's grad_mask path would after DCE.
+    mask = None
+    if "--freeze" in sys.argv:
+        mask = {
+            "unet": TS.temporal_frozen_mask(cfg.unet, trainable["unet"]),
+            "image_proj": jax.tree.map(lambda _: True,
+                                       trainable["image_proj"]),
+        }
+
     def loss_fn(tr, fz, batch, key):
+        if mask is not None:
+            tr = jax.tree.map(
+                lambda p, m: p if m else jax.lax.stop_gradient(p), tr, mask)
         p = TS.merge_params(tr, fz)
         loss, _ = M.training_loss(
             p, cfg, sched_arrays, batch, key,

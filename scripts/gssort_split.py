@@ -47,26 +47,29 @@ def main():
     def prefix(stage):
         def fn(gg):
             proj = project_gaussians(gg, K, w2c, width=W, height=H)
-            rg, ty, tx0, span_x, total_rows = TR._enumerate_rows(
-                proj, tw=tw, th=th, max_rows=mr)
-            if stage == "rows":
-                return jnp.sum(span_x) + jnp.sum(ty[::997]) + total_rows
-            rr, plocal, valid, total = TR._expand(span_x, mp)
-            gi = rg[rr]
-            tile_id = jnp.where(valid, ty[rr] * tw + tx0[rr] + plocal,
-                                n_tiles)
-            if stage == "expand":
-                return (jnp.sum(gi[::997]) + jnp.sum(tile_id[::997])
-                        + total)
-            depth = proj.depths[gi]
             db = 31 - int(n_tiles + 1).bit_length()
             dmin = jnp.min(jnp.where(proj.visible, proj.depths, jnp.inf))
             dmax = jnp.max(jnp.where(proj.visible, proj.depths, -jnp.inf))
             qscale = ((1 << db) - 1) / jnp.maximum(dmax - dmin, 1e-12)
-            dq = jnp.clip(
-                jnp.clip((depth - dmin) * qscale, 0, None).astype(jnp.int32),
+            dq_g = jnp.clip(
+                jnp.clip((proj.depths - dmin) * qscale, 0,
+                         None).astype(jnp.int32),
                 0, (1 << db) - 1)
-            key = (tile_id << db) | dq
+            rg, ty, tx0, span_x, total_rows, ex = TR._enumerate_rows(
+                proj, tw=tw, th=th, max_rows=mr, extras=dq_g[:, None])
+            if stage == "rows":
+                return jnp.sum(span_x) + jnp.sum(ty[::997]) + total_rows
+            rr, slot2, starts2, valid, total = TR._expand2(span_x, mp)
+            rtab = jnp.stack([rg, ty, tx0, ex[:, 0], starts2], axis=1)
+            rt = rtab[rr]
+            gi = rt[:, 0]
+            tile_id = jnp.where(
+                valid, rt[:, 1] * tw + rt[:, 2] + (slot2 - rt[:, 4]),
+                n_tiles)
+            if stage == "expand":
+                return (jnp.sum(gi[::997]) + jnp.sum(tile_id[::997])
+                        + total)
+            key = (tile_id << db) | rt[:, 3]
             key_s, gi_s = jax.lax.sort((key, gi), num_keys=1)
             if stage == "sort":
                 return jnp.sum(gi_s[::997]) + jnp.sum(key_s[::997])
