@@ -177,15 +177,22 @@ def _enumerate_rows(proj, *, tw: int, th: int, max_rows: int, extras=None):
     row_span = jnp.where(proj.visible, y1 - y0 + 1, 0)
     rg, slot, rstarts, row_valid, total_rows = _expand2(row_span, max_rows)
 
-    # ONE packed row gather: ellipse coefficients + y0 + row start (+extras)
+    # ONE packed row gather: ellipse coefficients + y0 + row start (+extras).
+    # The whole enumeration is combinatorial (every output is an integer
+    # decision), so the table is explicitly non-differentiable — without the
+    # stop_gradient, the gather's bwd keeps the (N, 9) table alive as a
+    # residual AND allocates a scatter accumulator, both in a pathological
+    # 56.9x-padded layout (14 G HBM at 5M gaussians, round-5 q4 OOM).
+    # Gradients to geometry/color flow ONLY through build_pairs' feature
+    # table gather.
     n_ex = 0 if extras is None else extras.shape[1]
     icols = [y0[:, None], rstarts[:, None]]
     if extras is not None:
         icols.append(extras)
-    ctab = jnp.concatenate(
+    ctab = jax.lax.stop_gradient(jnp.concatenate(
         [proj.means2d, proj.conics, proj.qmax[:, None],
          jax.lax.bitcast_convert_type(
-             jnp.concatenate(icols, axis=1), jnp.float32)], axis=1)
+             jnp.concatenate(icols, axis=1), jnp.float32)], axis=1))
     cf = ctab[rg]
     iview = jax.lax.bitcast_convert_type(cf[:, 6:], jnp.int32)
     ty = iview[:, 0] + (slot - iview[:, 1])

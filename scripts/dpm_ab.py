@@ -71,8 +71,15 @@ def main():
 
     unet = jax.jit(mk)()
     vae_shapes = jax.eval_shape(lambda k: V.init_vae(k, vcfg), rng)
-    vae = jax.tree.map(lambda s: jnp.full(s.shape, 0.01, jnp.float32),
-                       vae_shapes)
+    vleaves, vdef = jax.tree.flatten(vae_shapes)
+    # random-VALUED decoder: a constant-fill VAE maps every latent to a
+    # near-constant image, compressing sampler differences to ~nothing
+    # (first run of this A/B measured 64.3-64.5 dB for EVERY sampler and
+    # numerically-broken SSIM on the near-constant outputs)
+    vae = jax.jit(lambda: vdef.unflatten([
+        jax.random.normal(jax.random.fold_in(rng, 10_000 + i), l.shape,
+                          jnp.float32) * 0.05
+        for i, l in enumerate(vleaves)]))()
     log("params ready")
 
     sched = M.MDMConfig().schedule() if preset != "mdm1024" else cfg.schedule()
@@ -111,40 +118,42 @@ def main():
                                  (b, t, hh, ww, 4), consts, dtype=dtype,
                                  x_T=x_T)
         x = V.decode_video(vae, vcfg, z.astype(dtype), chunk=16)
-        return jnp.clip(x, -1, 1)
+        return jnp.clip(x, -1, 1), z.astype(jnp.float32)
 
     def run(sampler, steps):
         t0 = time.perf_counter()
-        out = clip_fn(unet, vae, sampler, steps)
+        out, z = clip_fn(unet, vae, sampler, steps)
         _ = float(jnp.mean(out.astype(jnp.float32)))
         log(f"{sampler}-{steps}: compile+first {time.perf_counter()-t0:.1f}s")
         t0 = time.perf_counter()
-        out = clip_fn(unet, vae, sampler, steps)
+        out, z = clip_fn(unet, vae, sampler, steps)
         _ = float(jnp.mean(out.astype(jnp.float32)))
         dt = time.perf_counter() - t0
         log(f"{sampler}-{steps}: {dt:.3f} s/clip")
-        return np.asarray(out, np.float32), dt
+        return (np.asarray(out, np.float32), np.asarray(z, np.float32)), dt
 
     if time_only:
         _, dt20 = run("dpmpp", 20)
         print(f"{preset} DPM-20 measured: {dt20:.2f} s/clip")
         return
 
-    target, _ = run("ddim", 100)
+    (target, ztarget), _ = run("ddim", 100)
+    zscale = float(np.abs(ztarget).max()) + 1e-9
     rows = []
     for sampler, steps in (("ddim", 50), ("ddim", 25),
                            ("dpmpp", 20), ("dpmpp", 15)):
-        out, dt = run(sampler, steps)
+        (out, z), dt = run(sampler, steps)
         p = MT.psnr(out, target)
+        pz = MT.psnr(z, ztarget, data_range=2 * zscale)
         s = float(np.mean([MT.ssim((out[0, i] + 1) / 2,
                                    (target[0, i] + 1) / 2)
                            for i in range(t)]))
-        rows.append((f"{sampler}-{steps}", p, s, dt))
-        print(f"{sampler}-{steps}: PSNR-vs-DDIM100 {p:.2f} dB, "
-              f"SSIM {s:.4f}, {dt:.2f} s/clip", flush=True)
-    print("\n| sampler | PSNR vs DDIM-100 | SSIM | s/clip |")
-    for name, p, s, dt in rows:
-        print(f"| {name} | {p:.2f} | {s:.4f} | {dt:.2f} |")
+        rows.append((f"{sampler}-{steps}", p, pz, s, dt))
+        print(f"{sampler}-{steps}: PSNR-vs-DDIM100 {p:.2f} dB pixel / "
+              f"{pz:.2f} latent, SSIM {s:.4f}, {dt:.2f} s/clip", flush=True)
+    print("\n| sampler | pixel PSNR | latent PSNR | SSIM | s/clip |")
+    for name, p, pz, s, dt in rows:
+        print(f"| {name} | {p:.2f} | {pz:.2f} | {s:.4f} | {dt:.2f} |")
 
 
 if __name__ == "__main__":
