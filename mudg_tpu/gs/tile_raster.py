@@ -769,7 +769,13 @@ def rasterize_pallas(
     E > 6)."""
     tw, th = _tile_grid(width, height)
     n_tiles = tw * th
-    proj = project_gaussians(g, K, w2c, width=width, height=height)
+    # remat the projection: its batched-3x3 intermediates ((N, 3, 3) covs/
+    # jacobians) tile-pad ~57x on TPU, so saving them as backward residuals
+    # costs 14 G HBM at N=5M (round-5 q5 OOM) while recomputing them in the
+    # bwd costs ~30 ms (the measured proj time)
+    proj = jax.checkpoint(
+        lambda gg: project_gaussians(gg, K, w2c, width=width, height=height)
+    )(g)
     feats, bounds, n_dropped = build_pairs(
         proj, view_colors(g, w2c), width=width, height=height,
         max_pairs=max_pairs, max_rows=max_rows, extras=features)
