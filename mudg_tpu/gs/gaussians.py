@@ -243,27 +243,46 @@ def project_gaussians(g: Gaussians, K, w2c, *, width: int, height: int,
     u = fx * p_cam[:, 0] / zc + cx
     v = fy * p_cam[:, 1] / zc + cy
 
-    # Jacobian of the projection at each mean
-    zero = jnp.zeros_like(z)
-    J = jnp.stack([
-        jnp.stack([fx / zc, zero, -fx * p_cam[:, 0] / zc**2], -1),
-        jnp.stack([zero, fy / zc, -fy * p_cam[:, 1] / zc**2], -1),
-    ], -2)  # (N, 2, 3)
-
-    sigma = covariance3d(g)
-    sigma_cam = R[None] @ sigma @ R.T[None]
-    cov2d = J @ sigma_cam @ J.transpose(0, 2, 1)  # (N, 2, 2)
+    # Flattened EWA covariance: the straightforward batched form
+    # (Sigma = R_q S S^T R_q^T; R_c Sigma R_c^T; J . J^T) builds (N, 3, 3)
+    # and (N, 2, 3) arrays whose tiny trailing dims tile-pad ~57x on TPU.
+    # The forward fuses, but the BACKWARD materializes padded cotangents —
+    # 9.4 + 4.7 + 4.7 G HBM at N=5M (round-5 q6 OOM). Expanding
+    # B = J @ R_c @ R_q @ diag(S), cov2d = B B^T into per-entry (N,)
+    # column arithmetic keeps fwd AND bwd purely elementwise.
+    qn = g.quats / jnp.linalg.norm(
+        g.quats, axis=-1, keepdims=True).clip(1e-8)
+    qw, qx, qy, qz = qn[:, 0], qn[:, 1], qn[:, 2], qn[:, 3]
+    r = [[1 - 2 * (qy * qy + qz * qz), 2 * (qx * qy - qw * qz),
+          2 * (qx * qz + qw * qy)],
+         [2 * (qx * qy + qw * qz), 1 - 2 * (qx * qx + qz * qz),
+          2 * (qy * qz - qw * qx)],
+         [2 * (qx * qz - qw * qy), 2 * (qy * qz + qw * qx),
+          1 - 2 * (qx * qx + qy * qy)]]
+    s = jnp.exp(g.log_scales)  # (N, 3)
+    a = [[sum(R[j, m] * r[m][k] for m in range(3)) for k in range(3)]
+         for j in range(3)]  # A = R_cam @ R_quat, as 9 (N,) columns
+    j0 = fx / zc
+    j1 = fy / zc
+    j2x = -fx * p_cam[:, 0] / zc**2
+    j2y = -fy * p_cam[:, 1] / zc**2
+    c00 = c01 = c11 = 0.0
+    for k in range(3):
+        b0k = (j0 * a[0][k] + j2x * a[2][k]) * s[:, k]
+        b1k = (j1 * a[1][k] + j2y * a[2][k]) * s[:, k]
+        c00 = c00 + b0k * b0k
+        c01 = c01 + b0k * b1k
+        c11 = c11 + b1k * b1k
     # low-pass: ensure each splat covers ~a pixel (3DGS convention)
-    cov2d = cov2d + eps2d * jnp.eye(2)[None]
+    c00 = c00 + eps2d
+    c11 = c11 + eps2d
 
-    det = cov2d[:, 0, 0] * cov2d[:, 1, 1] - cov2d[:, 0, 1] ** 2
+    det = c00 * c11 - c01 ** 2
     det = jnp.maximum(det, 1e-12)
-    inv = jnp.stack([
-        cov2d[:, 1, 1] / det, -cov2d[:, 0, 1] / det, cov2d[:, 0, 0] / det
-    ], -1)  # conic (a, b, c)
+    inv = jnp.stack([c11 / det, -c01 / det, c00 / det], -1)  # conic (a, b, c)
 
     # 3-sigma extent from the largest eigenvalue
-    mid = 0.5 * (cov2d[:, 0, 0] + cov2d[:, 1, 1])
+    mid = 0.5 * (c00 + c11)
     lam1 = mid + jnp.sqrt(jnp.maximum(mid**2 - det, 0.0))
     radii = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lam1, 0.0)))
 
@@ -278,8 +297,7 @@ def project_gaussians(g: Gaussians, K, w2c, *, width: int, height: int,
     qmax = 2.0 * jnp.log(jnp.maximum(opacities, 1e-12) * 255.0)
     qpos = jnp.maximum(qmax, 0.0)
     ext = jnp.ceil(jnp.sqrt(
-        qpos[:, None] * jnp.maximum(
-            jnp.stack([cov2d[:, 0, 0], cov2d[:, 1, 1]], -1), 0.0)))
+        qpos[:, None] * jnp.maximum(jnp.stack([c00, c11], -1), 0.0)))
 
     visible = (
         g.active

@@ -87,8 +87,12 @@ def test_gradients_match_xla_path():
     for name, a, b in zip(names, g_out, g_ref):
         a, b = np.asarray(a), np.asarray(b)
         scale = np.abs(b).max() + 1e-8
+        # absolute floor: near-zero gradient families (quats here are
+        # ~1e-10 in this scene) would otherwise compare numerical noise —
+        # the two paths' projections may fuse/round differently (the
+        # pallas path remats the projection) at the 1e-10 level
         np.testing.assert_allclose(
-            a, b, atol=2e-3 * scale,
+            a, b, atol=2e-3 * scale + 1e-8,
             err_msg=f"grad mismatch for {name}")
 
 
