@@ -55,6 +55,13 @@ def _ln(v, w, b):
 
 def _kernel(x_ref, lnw, lnb, wq, wk, wv, wo, bo, o_ref, kb, vb,
             *, heads, bq, seq):
+    # x_ref and o_ref ALIAS (input_output_aliases={0: 0}): the access
+    # pattern is alias-safe by construction — the whole block is read once
+    # up front (xn -> k/v scratch), then each q-chunk reads its x rows
+    # BEFORE writing the same rows, and never re-reads earlier rows.
+    # Sharing the buffer removes the separate out allocation from the
+    # scoped-vmem envelope (3.3 MB at (2560, 320)) — the margin that made
+    # the kernel graph-context-fragile (round-5 entry() 16.07M OOM).
     c = x_ref.shape[-1]
     d = c // heads
     xn = _ln(x_ref[0], lnw[...], lnb[...])
@@ -109,7 +116,7 @@ def _vmem_est(l, c, bq):
     # too), per-chunk LN f32 temporaries, q/o_all/out transients. A 14.5 MB
     # budget reproduces every observed pass/fail: ds1 (2560, 320) bq=128 ok
     # / bq=256 OOM; ds2 (640, 640) bq=320 OOM (16.27M real) / bq=128 ok.
-    return (2 * (l * c * 2) * 2     # x + out blocks, double-buffered
+    return ((l * c * 2) * 2         # x/out ALIASED block, double-buffered
             + 2 * l * c * 2         # k/v scratch
             + bq * l * 4            # scores
             + 2 * 4 * c * c * 2     # weights, double-buffered
@@ -118,8 +125,16 @@ def _vmem_est(l, c, bq):
 
 
 def _pick_bq(l, c):
+    # 12 MB budget (was 14.5): the whole-block kernel's ACTUAL scoped vmem
+    # is bq-INDEPENDENT at large L (x/out whole-L blocks + k/v scratch all
+    # double-buffered = the fixed 16.07M observed at (2560, 320) for both
+    # bq=128 and bq=64) and graph-dependent: that instance compiled inside
+    # bench's clip graph for three rounds, then OOM'd inside the round-5
+    # driver entry() graph by 76 KB. est <= 12M keeps admitted shapes'
+    # actuals under the limit with margin; MDM512's ds1/ds2 move to the
+    # flashblock / streaming tiers (never to plain XLA).
     for bq in (l, 512, 320, 256, 128):
-        if l % bq == 0 and _vmem_est(l, c, bq) < int(14.5 * 2**20):
+        if l % bq == 0 and _vmem_est(l, c, bq) < 12 * 2**20:
             return bq
     return 0
 
@@ -157,6 +172,7 @@ def _fused_impl(x, p_norm, p_attn, *, heads, bq=None):
         out_shape=jax.ShapeDtypeStruct((b, l, c), x.dtype),
         scratch_shapes=[pltpu.VMEM((l, c), jnp.bfloat16),
                         pltpu.VMEM((l, c), jnp.bfloat16)],
+        input_output_aliases={0: 0},
         interpret=_interpret(),
     )(x, lnw, lnb, *w)
 
@@ -321,6 +337,13 @@ def stream_eligible(x, c, heads) -> bool:
         and (c // heads) % 64 == 0
         and l % _STREAM_BQ == 0
         and l // _STREAM_BQ >= 2
+        # manual HBM DMA slices must be 128-aligned on lanes: the x/out
+        # chunk DMAs slice (bq, C) directly from the (B, L, C) operand, so
+        # C itself must be a 128 multiple (c=320 crashes Mosaic with
+        # "Slice shape along dimension 2 must be aligned to tiling" —
+        # round-5 q10; the flashblock tier lane-pads its k/v copies
+        # instead and handles any C)
+        and c % 128 == 0
         and _stream_vmem_est(l, c) < int(14.5 * 2**20)
     )
 
